@@ -1,0 +1,243 @@
+"""Small shared utilities for the flow2gan_tpu framework.
+
+Capability parity with the reference `flow2gan/utils.py` (see
+/root/reference/flow2gan/utils.py:41-374), re-designed for JAX:
+
+- `make_pad_mask` returns *valid* positions handling via jnp (we expose both
+  polarities; the reference returns True at padded positions).
+- `MetricsTracker` reduces across hosts/devices with `jax` collectives or a
+  provided reduce function instead of torch.distributed.
+- `AttributeDict`, flag parsing helpers, `safe_log`, `convert_length` match the
+  reference semantics (reference utils.py:194-269).
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import logging
+import os
+import pathlib
+from datetime import datetime
+from pathlib import Path
+from typing import List, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+Pathlike = Union[str, Path]
+
+
+def make_pad_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """Boolean mask that is True at *padded* positions.
+
+    Mirrors reference utils.py:41-66 but requires a static `max_len`
+    (JAX needs static shapes under jit; callers always know the padded length).
+
+    Args:
+      lengths: (batch,) int array of valid lengths.
+      max_len: static padded length.
+
+    Returns:
+      (batch, max_len) bool array, True where position >= length.
+    """
+    assert lengths.ndim == 1, lengths.ndim
+    seq_range = jnp.arange(max_len, dtype=lengths.dtype)
+    return seq_range[None, :] >= lengths[:, None]
+
+
+def make_valid_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """Float mask that is 1.0 at valid positions, shape (batch, max_len)."""
+    return (~make_pad_mask(lengths, max_len)).astype(jnp.float32)
+
+
+def safe_log(x: jnp.ndarray, clip_val: float = 1e-7) -> jnp.ndarray:
+    """log(max(x, clip_val)); reference utils.py:221-232."""
+    return jnp.log(jnp.clip(x, min=clip_val))
+
+
+def convert_length(x: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Truncate or zero-pad the last dim to `length`; reference utils.py:235-244."""
+    cur = x.shape[-1]
+    if length <= cur:
+        return x[..., :length]
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, length - cur)]
+    return jnp.pad(x, pad)
+
+
+def str2bool(v):
+    """argparse-friendly bool parser; reference utils.py:194-210."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    elif v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    else:
+        raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def to_int_tuple(s: str) -> Tuple[int, ...]:
+    return tuple(map(int, s.split(",")))
+
+
+def to_float_tuple(s: str) -> Tuple[float, ...]:
+    return tuple(map(float, s.split(",")))
+
+
+class AttributeDict(dict):
+    """dict with attribute access and JSON pretty-printing; reference utils.py:247-269."""
+
+    def __getattr__(self, key):
+        if key in self:
+            return self[key]
+        raise AttributeError(f"No such attribute '{key}'")
+
+    def __setattr__(self, key, value):
+        self[key] = value
+
+    def __delattr__(self, key):
+        if key in self:
+            del self[key]
+            return
+        raise AttributeError(f"No such attribute '{key}'")
+
+    def __str__(self, indent: int = 2):
+        tmp = {}
+        for k, v in self.items():
+            if isinstance(v, pathlib.Path):
+                v = str(v)
+            try:
+                json.dumps(v)
+            except TypeError:
+                v = str(v)
+            tmp[k] = v
+        return json.dumps(tmp, indent=indent, sort_keys=True)
+
+
+def setup_logger(
+    log_filename: Pathlike,
+    log_level: str = "info",
+    use_console: bool = True,
+    rank: int = 0,
+    world_size: int = 1,
+) -> None:
+    """Per-process log file + console; reference utils.py:141-192."""
+    now = datetime.now()
+    date_time = now.strftime("%Y-%m-%d-%H-%M-%S")
+    if world_size > 1:
+        formatter = (
+            f"%(asctime)s %(levelname)s [%(filename)s:%(lineno)d] "
+            f"({rank}/{world_size}) %(message)s"
+        )
+        log_filename = f"{log_filename}-{date_time}-{rank}"
+    else:
+        formatter = "%(asctime)s %(levelname)s [%(filename)s:%(lineno)d] %(message)s"
+        log_filename = f"{log_filename}-{date_time}"
+
+    os.makedirs(os.path.dirname(str(log_filename)), exist_ok=True)
+
+    level = {
+        "debug": logging.DEBUG,
+        "info": logging.INFO,
+        "warning": logging.WARNING,
+        "critical": logging.CRITICAL,
+    }.get(log_level, logging.ERROR)
+
+    logging.basicConfig(
+        filename=str(log_filename),
+        format=formatter,
+        level=level,
+        filemode="w",
+        force=True,
+    )
+    if use_console:
+        console = logging.StreamHandler()
+        console.setLevel(level)
+        console.setFormatter(logging.Formatter(formatter))
+        logging.getLogger("").addHandler(console)
+
+
+class MetricsTracker(collections.defaultdict):
+    """Sample-weighted metric accumulator; reference utils.py:273-344.
+
+    Values are plain Python floats/ints (device arrays should be converted by
+    the caller via float()). Cross-process reduction uses
+    `jax.experimental.multihost_utils` when world_size > 1.
+    """
+
+    def __init__(self):
+        super().__init__(int)
+
+    def __add__(self, other: "MetricsTracker") -> "MetricsTracker":
+        ans = MetricsTracker()
+        for k, v in self.items():
+            ans[k] = v
+        for k, v in other.items():
+            ans[k] = ans[k] + v
+        return ans
+
+    def __mul__(self, alpha: float) -> "MetricsTracker":
+        ans = MetricsTracker()
+        for k, v in self.items():
+            ans[k] = v * alpha
+        return ans
+
+    def __str__(self) -> str:
+        ans = ""
+        for k, v in self.norm_items():
+            norm_value = "%.4g" % v
+            ans += str(k) + "=" + str(norm_value) + ", "
+        samples = "%.2f" % self["samples"]
+        ans += "over " + str(samples) + " samples."
+        return ans
+
+    def norm_items(self) -> List[Tuple[str, float]]:
+        samples = self["samples"] if "samples" in self else 1
+        ans = []
+        for k, v in self.items():
+            if k == "samples":
+                continue
+            ans.append((k, float(v) / samples))
+        return ans
+
+    def reduce(self):
+        """Sum metrics across all JAX processes (no-op single-process)."""
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        keys = sorted(self.keys())
+        vals = np.array([float(self[k]) for k in keys], dtype=np.float64)
+        summed = multihost_utils.process_allgather(vals).sum(axis=0)
+        for k, v in zip(keys, summed.tolist()):
+            self[k] = v
+
+    def write_summary(self, tb_writer, prefix: str, batch_idx: int) -> None:
+        for k, v in self.norm_items():
+            tb_writer.add_scalar(prefix + k, v, batch_idx)
+
+
+def plot_feature(spectrogram: np.ndarray) -> np.ndarray:
+    """Render a (channels, frames) feature as an HWC uint8 image for TB.
+
+    Reference utils.py:351-374.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pylab as plt
+
+    fig, ax = plt.subplots(figsize=(10, 5))
+    im = ax.imshow(spectrogram, aspect="auto", origin="lower", interpolation="none")
+    plt.colorbar(im, ax=ax)
+    plt.xlabel("Frames")
+    plt.ylabel("Channels")
+    plt.tight_layout()
+    fig.canvas.draw()
+    data = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return data
