@@ -1,0 +1,175 @@
+"""Public model API: `get_model` mirrors the reference
+/root/reference/flow2gan/__init__.py:29-48 (named config + HuggingFace or
+local checkpoint), returning a ready-to-run jitted vocoder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flow2gan_tpu.models import (
+    HF_MODEL_NAMES,
+    HF_REPO,
+    build_generator,
+    generator_config_for_hf_model,
+    get_generator_config,
+)
+from flow2gan_tpu.ops.mel import LogMelSpectrogram
+from flow2gan_tpu.utils import AttributeDict
+
+
+@dataclasses.dataclass
+class VocoderModel:
+    """A generator + params + mel frontend, with jitted inference.
+
+    `infer(mel)` takes (B, n_mels, frames) -> (B, frames * hop) waveforms;
+    `mel(audio)` takes (B, L) -> (B, n_mels, frames) log-mels;
+    `reconstruct(audio)` = infer(mel(audio)).
+    """
+
+    module: object  # MelAudioGenerator (flax module)
+    variables: dict
+    config: AttributeDict
+    n_timesteps: int = 1
+
+    def __post_init__(self):
+        self._mel_fn = LogMelSpectrogram(
+            sampling_rate=self.config.sampling_rate,
+            n_fft=self.config.mel_n_fft,
+            hop_length=self.config.mel_hop_length,
+            n_mels=self.config.n_mels,
+        )
+        self._infer_jit = jax.jit(
+            self._infer_impl, static_argnames=("n_timesteps", "clamp_pred")
+        )
+        self._mel_jit = jax.jit(self._mel_fn)
+
+    def _infer_impl(self, variables, cond, key, n_timesteps, clamp_pred):
+        return self.module.apply(
+            variables,
+            cond,
+            n_timesteps=n_timesteps,
+            clamp_pred=clamp_pred,
+            method="infer",
+            rngs={"noise": key},
+        )
+
+    def mel(self, audio) -> jnp.ndarray:
+        return self._mel_jit(jnp.asarray(audio))
+
+    def infer(
+        self,
+        cond,
+        n_timesteps: Optional[int] = None,
+        clamp_pred: bool = True,
+        seed: int = 0,
+    ) -> jnp.ndarray:
+        n = n_timesteps if n_timesteps is not None else self.n_timesteps
+        return self._infer_jit(
+            self.variables,
+            jnp.asarray(cond),
+            jax.random.PRNGKey(seed),
+            n,
+            clamp_pred,
+        )
+
+    def reconstruct(self, audio, n_timesteps: Optional[int] = None) -> jnp.ndarray:
+        return self.infer(self.mel(audio), n_timesteps=n_timesteps)
+
+
+def _download_from_hf(hf_model_name: str) -> str:
+    from huggingface_hub import hf_hub_download
+
+    return hf_hub_download(HF_REPO, f"{hf_model_name}.pt")
+
+
+def load_params(checkpoint: str, module, example_cond_shape) -> dict:
+    """Load params from a .pt (torch, converted) or native flax msgpack file."""
+    path = str(checkpoint)
+    rng = jax.random.PRNGKey(0)
+    cond = jnp.zeros(example_cond_shape, jnp.float32)
+    template = module.init(
+        {"params": rng, "noise": rng},
+        cond,
+        n_timesteps=1,
+        method="infer",
+    )
+    if path.endswith(".pt"):
+        from flow2gan_tpu.compat.torch_convert import (
+            convert_torch_state_dict,
+            load_torch_file,
+            strip_prefixes,
+        )
+
+        sd = load_torch_file(path)
+        sd = strip_prefixes(
+            sd, unwrap_generator=any(k.startswith("generator.") for k in sd)
+        )
+        params, missing, _ = convert_torch_state_dict(sd, template["params"])
+        if missing:
+            logging.warning("checkpoint %s left %d params at init", path, len(missing))
+        return {"params": params}
+    else:
+        from flow2gan_tpu.training.checkpoint import load_checkpoint
+
+        state = load_checkpoint(path)
+        params = state["model"] if "model" in state else state
+        # restore against the template structure
+        import flax
+
+        params = flax.serialization.from_state_dict(template["params"], params)
+        return {"params": params}
+
+
+def get_model(
+    model_name: Optional[str] = None,
+    hf_model_name: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+) -> VocoderModel:
+    """Build a vocoder from a named config, loading HF or local weights.
+
+    Mirrors reference __init__.py:29-48. Exactly one of `hf_model_name` /
+    `checkpoint` may be given; with neither, returns randomly-initialized
+    params (useful for tests).
+    """
+    n_timesteps = 1
+    if hf_model_name is not None:
+        if hf_model_name not in HF_MODEL_NAMES:
+            raise ValueError(
+                f"Unknown HF model {hf_model_name}; available: {sorted(HF_MODEL_NAMES)}"
+            )
+        n_timesteps = HF_MODEL_NAMES[hf_model_name]
+        if model_name is None:
+            model_name = generator_config_for_hf_model(hf_model_name)
+    if model_name is None:
+        model_name = "mel_24k_base"
+    cfg = get_generator_config(model_name)
+    module = build_generator(cfg)
+
+    if hf_model_name is not None and checkpoint is None:
+        checkpoint = _download_from_hf(hf_model_name)
+
+    example_shape = (1, cfg.n_mels, 16)
+    if checkpoint is not None:
+        if not Path(checkpoint).exists():
+            raise FileNotFoundError(checkpoint)
+        variables = load_params(checkpoint, module, example_shape)
+    else:
+        rng = jax.random.PRNGKey(0)
+        variables = module.init(
+            {"params": rng, "noise": rng},
+            jnp.zeros(example_shape, jnp.float32),
+            n_timesteps=1,
+            method="infer",
+        )
+
+    return VocoderModel(
+        module=module, variables=variables, config=cfg, n_timesteps=n_timesteps
+    )

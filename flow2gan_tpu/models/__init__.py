@@ -1,0 +1,40 @@
+from flow2gan_tpu.models.config import (  # noqa: F401
+    HF_MODEL_NAMES,
+    HF_REPO,
+    generator_config_for_hf_model,
+    get_gan_config,
+    get_generator_config,
+)
+from flow2gan_tpu.models.convnext import (  # noqa: F401
+    AudioConvNeXt,
+    CondEncoder,
+    ConvNeXtBlock,
+    ConvNeXtDecoder,
+    sinusoidal_pos_emb,
+)
+from flow2gan_tpu.models.generator import (  # noqa: F401
+    BaseAudioGenerator,
+    MelAudioGenerator,
+    TokenAudioGenerator,
+)
+from flow2gan_tpu.models.norms import (  # noqa: F401
+    BiasNorm,
+    ChannelScale,
+    PReLU,
+    limit_param_value,
+)
+
+
+def build_generator(config) -> "MelAudioGenerator":
+    """Construct a MelAudioGenerator from a named config dict/AttributeDict."""
+    cfg = dict(config)
+    cfg.pop("cond_dim", None)
+    n_mels = cfg.pop("n_mels")
+    mel_hop_length = cfg.pop("mel_hop_length")
+    return MelAudioGenerator(
+        cond_dim=n_mels,
+        cond_hop_length=mel_hop_length,
+        n_mels=n_mels,
+        mel_hop_length=mel_hop_length,
+        **cfg,
+    )

@@ -1,0 +1,281 @@
+"""ConvNeXt-1D building blocks and the per-branch STFT-domain model.
+
+TPU-first re-design of /root/reference/flow2gan/models/modules.py:419-721:
+
+- channels-last (B, T, C) layout everywhere: C rides the 128-lane dimension,
+  pointwise convs become MXU matmuls, the depthwise k=7 conv is a cheap
+  VPU op that XLA fuses with the surrounding elementwise work;
+- time/cond conditioning is FiLM-style exactly as the reference
+  (add cond projection, multiply by (1 + time projection));
+- `AudioConvNeXt` runs waveform -> STFT -> decode -> iSTFT entirely inside
+  one jittable function (the STFT/iSTFT are the XLA-native ops from
+  flow2gan_tpu.ops.stft).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from flow2gan_tpu.models.norms import BiasNorm, ChannelScale, PReLU
+from flow2gan_tpu.ops.stft import (
+    istft,
+    real_to_spec,
+    spec_to_real,
+    stft,
+    stft_lens,
+)
+from flow2gan_tpu.utils import make_valid_mask
+
+# trunc_normal(std=0.015) like the reference weight init (generator.py:122-127)
+_KERNEL_INIT = nn.initializers.truncated_normal(stddev=0.015, lower=-2.0, upper=2.0)
+
+
+def sinusoidal_pos_emb(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.ndarray:
+    """Sinusoidal embedding of flow time t: (B,) -> (B, dim).
+
+    Reference modules.py:217-232 (sin block then cos block).
+    """
+    assert dim % 2 == 0
+    half = dim // 2
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1))
+    )
+    arg = scale * t[:, None].astype(jnp.float32) * freqs[None, :]
+    return jnp.concatenate([jnp.sin(arg), jnp.cos(arg)], axis=-1)
+
+
+class ConvNeXtBlock(nn.Module):
+    """depthwise k7 conv -> BiasNorm -> (+cond) -> (×(1+time)) -> MLP -> +res.
+
+    Reference modules.py:419-495. Input (B, T, C).
+    """
+
+    channels: int
+    hidden_channels: int
+    kernel_size: int = 7
+    use_cond: bool = False
+    use_time: bool = False
+    use_residual_scale: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cond: Optional[jnp.ndarray] = None,
+        time_embed: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        residual = x
+        if mask is not None:
+            x = x * mask
+        x = nn.Conv(
+            self.channels,
+            (self.kernel_size,),
+            padding="SAME",
+            feature_group_count=self.channels,
+            kernel_init=_KERNEL_INIT,
+            name="dwconv",
+        )(x)
+        x = BiasNorm(self.channels, name="norm")(x, train=train)
+        if self.use_cond:
+            assert cond is not None
+            x = x + nn.Dense(self.channels, kernel_init=_KERNEL_INIT, name="cond_proj")(
+                cond
+            )
+        if self.use_time:
+            assert time_embed is not None
+            gain = nn.Dense(
+                self.channels, kernel_init=_KERNEL_INIT, name="time_embed_proj"
+            )(time_embed)
+            x = x * (1.0 + gain)[:, None, :]
+        x = nn.Dense(self.hidden_channels, kernel_init=_KERNEL_INIT, name="pwconv1")(x)
+        x = PReLU(self.hidden_channels, name="act")(x)
+        x = nn.Dense(self.channels, kernel_init=_KERNEL_INIT, name="pwconv2")(x)
+        if self.use_residual_scale:
+            residual = ChannelScale(self.channels, name="residual_scale")(
+                residual, train=train
+            )
+        return x + residual
+
+
+class CondEncoder(nn.Module):
+    """ConvNeXt encoder over conditioning features (mels); computed once and
+    shared by all branches. Reference modules.py:498-542. Input (B, T, cond_dim).
+    """
+
+    cond_dim: int = 100
+    channels: int = 512
+    hidden_factor: int = 3
+    conv_kernel_size: int = 7
+    num_layers: int = 4
+    use_residual_scale: bool = True
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None, train: bool = False
+    ) -> jnp.ndarray:
+        x = nn.Conv(
+            self.channels,
+            (3,),
+            padding="SAME",
+            kernel_init=_KERNEL_INIT,
+            name="in_proj",
+        )(x)
+        x = BiasNorm(self.channels, name="in_norm")(x, train=train)
+        for i in range(self.num_layers):
+            x = ConvNeXtBlock(
+                channels=self.channels,
+                hidden_channels=int(self.channels * self.hidden_factor),
+                kernel_size=self.conv_kernel_size,
+                use_residual_scale=self.use_residual_scale,
+                name=f"blocks_{i}",
+            )(x, mask=mask, train=train)
+        return x
+
+
+class ConvNeXtDecoder(nn.Module):
+    """Per-branch trunk over packed Fourier coefficients.
+
+    Reference modules.py:545-627. Input (B, T_f, in_channels).
+    """
+
+    in_channels: int
+    out_channels: int
+    channels: int = 512
+    cond_channels: int = 512
+    time_embed_channels: int = 512
+    hidden_factor: int = 3
+    conv_kernel_size: int = 7
+    num_layers: int = 8
+    use_residual_scale: bool = True
+    use_t: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cond: jnp.ndarray,
+        t: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        x = nn.Dense(self.channels, kernel_init=_KERNEL_INIT, name="in_proj")(x)
+        x = BiasNorm(self.channels, name="in_norm")(x, train=train)
+
+        time_embed = None
+        if self.use_t:
+            assert t is not None
+            emb = sinusoidal_pos_emb(t, self.time_embed_channels)
+            hid = int(self.time_embed_channels * self.hidden_factor)
+            emb = nn.Dense(hid, kernel_init=_KERNEL_INIT, name="time_mlp_0")(emb)
+            emb = nn.silu(emb)
+            time_embed = nn.Dense(
+                self.time_embed_channels, kernel_init=_KERNEL_INIT, name="time_mlp_2"
+            )(emb)
+
+        cond_hidden = int(self.cond_channels * self.hidden_factor)
+        cond = nn.Dense(cond_hidden, kernel_init=_KERNEL_INIT, name="cond_mlp_0")(cond)
+        cond = PReLU(cond_hidden, name="cond_mlp_1")(cond)
+        cond = nn.Dense(
+            self.cond_channels, kernel_init=_KERNEL_INIT, name="cond_mlp_2"
+        )(cond)
+
+        for i in range(self.num_layers):
+            x = ConvNeXtBlock(
+                channels=self.channels,
+                hidden_channels=int(self.channels * self.hidden_factor),
+                kernel_size=self.conv_kernel_size,
+                use_cond=True,
+                use_time=self.use_t,
+                use_residual_scale=self.use_residual_scale,
+                name=f"blocks_{i}",
+            )(x, cond=cond, time_embed=time_embed, mask=mask, train=train)
+
+        x = nn.Dense(self.out_channels, kernel_init=_KERNEL_INIT, name="out_proj")(x)
+        return x
+
+
+class AudioConvNeXt(nn.Module):
+    """One resolution branch: wav -> STFT -> ConvNeXt decode -> iSTFT -> wav.
+
+    Reference modules.py:630-721. Input audio (B, L), cond (B, T_c, C_c).
+    """
+
+    n_fft: int = 512
+    hop_length: int = 256
+    cond_hop_length: int = 256
+    channels: int = 768
+    cond_channels: int = 512
+    time_embed_channels: int = 512
+    hidden_factor: int = 3
+    conv_kernel_size: int = 7
+    num_layers: int = 8
+    use_residual_scale: bool = True
+    use_t: bool = True
+
+    def setup(self):
+        assert self.cond_hop_length % self.hop_length == 0, (
+            "cond_hop_length must be an integer multiple of hop_length"
+        )
+        real_fft_channels = self.n_fft + 2
+        self.decoder = ConvNeXtDecoder(
+            in_channels=real_fft_channels,
+            out_channels=real_fft_channels,
+            channels=self.channels,
+            cond_channels=self.cond_channels,
+            time_embed_channels=self.time_embed_channels,
+            hidden_factor=self.hidden_factor,
+            conv_kernel_size=self.conv_kernel_size,
+            num_layers=self.num_layers,
+            use_residual_scale=self.use_residual_scale,
+            use_t=self.use_t,
+        )
+
+    def upsample_cond(self, cond: jnp.ndarray, fft_frames: int) -> jnp.ndarray:
+        """Nearest-repeat cond to the branch frame rate, then truncate/pad.
+
+        Reference modules.py:668-680. cond: (B, T_c, C) -> (B, fft_frames, C).
+        """
+        factor = self.cond_hop_length // self.hop_length
+        if factor != 1:
+            cond = jnp.repeat(cond, factor, axis=1)
+        cur = cond.shape[1]
+        if fft_frames <= cur:
+            cond = cond[:, :fft_frames]
+        else:
+            cond = jnp.pad(cond, ((0, 0), (0, fft_frames - cur), (0, 0)))
+        return cond
+
+    def __call__(
+        self,
+        audio: jnp.ndarray,
+        cond: jnp.ndarray,
+        t: Optional[jnp.ndarray] = None,
+        audio_lens: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        length = audio.shape[-1]
+        spec = stft(audio, self.n_fft, self.hop_length)  # (B, T_f, F) complex
+        x = spec_to_real(spec)  # (B, T_f, n_fft + 2)
+        fft_frames = x.shape[1]
+
+        cond = self.upsample_cond(cond, fft_frames)
+
+        mask = None
+        if audio_lens is not None:
+            fft_lens = stft_lens(audio_lens, self.hop_length)
+            mask = make_valid_mask(fft_lens, fft_frames)[..., None]  # (B, T_f, 1)
+
+        x = self.decoder(x, cond=cond, t=t, mask=mask, train=train)
+        if mask is not None:
+            x = x * mask
+
+        out_spec = real_to_spec(x)
+        audio_out = istft(out_spec, self.n_fft, self.hop_length, length=length)
+        return audio_out

@@ -154,7 +154,8 @@ def _istft_envelope(n_frames: int, n_fft: int, hop: int) -> np.ndarray:
     [n_fft//2, n_fft//2 + (n_frames-1)*hop), as float32 numpy (becomes an XLA
     constant, computed once per shape).
     """
-    w = np.asarray(hann_window(n_fft), dtype=np.float64) ** 2
+    # pure numpy (this helper runs at trace time; jnp would leak tracers)
+    w = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)) ** 2
     out_len = (n_frames - 1) * hop + n_fft
     env = np.zeros(out_len, dtype=np.float64)
     for i in range(n_frames):

@@ -1,0 +1,201 @@
+"""Model-level tests on tiny configs: loss finiteness, infer shapes,
+stochastic-regularizer plumbing, masking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flow2gan_tpu.models import build_generator, get_generator_config
+from flow2gan_tpu.models.generator import TokenAudioGenerator
+from flow2gan_tpu.models.norms import limit_param_value
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = get_generator_config("mel_24k_tiny")
+    model = build_generator(cfg)
+    B, L = 2, 4096
+    frames = L // cfg.mel_hop_length
+    rng = jax.random.PRNGKey(0)
+    cond = jax.random.normal(rng, (B, cfg.n_mels, frames))
+    audio = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, L))
+    lens = jnp.asarray([L, L - 300])
+    params = model.init(
+        {"params": rng, "noise": rng, "gate": rng, "dropout": rng},
+        cond,
+        audio,
+        lens,
+        train=True,
+    )
+    return cfg, model, params, cond, audio, lens
+
+
+def test_fm_loss_finite_and_scalar(tiny):
+    cfg, model, params, cond, audio, lens = tiny
+    loss = model.apply(
+        params,
+        cond,
+        audio,
+        lens,
+        train=True,
+        rngs={"noise": jax.random.PRNGKey(2), "gate": jax.random.PRNGKey(3),
+              "dropout": jax.random.PRNGKey(4)},
+    )
+    assert loss.shape == ()
+    assert np.isfinite(float(loss))
+    assert float(loss) > 0
+
+
+def test_fm_loss_grads_finite(tiny):
+    cfg, model, params, cond, audio, lens = tiny
+
+    def loss_fn(p):
+        return model.apply(
+            {"params": p["params"]},
+            cond,
+            audio,
+            lens,
+            train=True,
+            rngs={"noise": jax.random.PRNGKey(2), "gate": jax.random.PRNGKey(3),
+                  "dropout": jax.random.PRNGKey(4)},
+        )
+
+    g = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    # every parameter must receive gradient (model is fully used)
+    norms = [float(jnp.abs(x).sum()) for x in flat]
+    assert sum(1 for n in norms if n == 0.0) <= 1  # log_scale gates may zero out
+
+
+@pytest.mark.parametrize("n_timesteps", [1, 2, 4])
+def test_infer_shape_and_determinism(tiny, n_timesteps):
+    cfg, model, params, cond, audio, lens = tiny
+    out = model.apply(
+        params,
+        cond,
+        n_timesteps=n_timesteps,
+        clamp_pred=True,
+        method="infer",
+        rngs={"noise": jax.random.PRNGKey(7)},
+    )
+    assert out.shape == (cond.shape[0], cond.shape[-1] * cfg.mel_hop_length)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out)).max() <= 1.0
+    out2 = model.apply(
+        params,
+        cond,
+        n_timesteps=n_timesteps,
+        clamp_pred=True,
+        method="infer",
+        rngs={"noise": jax.random.PRNGKey(7)},
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_infer_jits(tiny):
+    cfg, model, params, cond, audio, lens = tiny
+
+    @jax.jit
+    def run(p, c, key):
+        return model.apply(
+            p, c, n_timesteps=2, method="infer", rngs={"noise": key}
+        )
+
+    out = run(params, cond, jax.random.PRNGKey(0))
+    assert out.shape == (cond.shape[0], cond.shape[-1] * cfg.mel_hop_length)
+
+
+def test_infer_from_noise_deterministic(tiny):
+    cfg, model, params, cond, audio, lens = tiny
+    L = cond.shape[-1] * cfg.mel_hop_length
+    noise = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (cond.shape[0], L))
+    a = model.apply(params, noise, cond, method="infer_from_noise")
+    b = model.apply(params, noise, cond, method="infer_from_noise")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_limit_param_value_grad_flip():
+    def f(x, gate):
+        return (limit_param_value(x, 0.0, 1.0, gate) * jnp.asarray([1.0, -1.0, 1.0, -1.0])).sum()
+
+    x = jnp.asarray([-0.5, -0.5, 1.5, 1.5])
+    # raw grads: [1, -1, 1, -1]
+    g_on = jax.grad(f)(x, jnp.asarray(1.0))
+    # x<lo and g>0 -> flip (push up? no: reference flips so grads become
+    # negative, making SGD (p -= lr*g) increase p)
+    np.testing.assert_allclose(np.asarray(g_on), [-1.0, -1.0, 1.0, 1.0])
+    g_off = jax.grad(f)(x, jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(g_off), [1.0, -1.0, 1.0, -1.0])
+
+
+def test_branch_dropout_changes_output_only_in_train(tiny):
+    cfg, model, params, cond, audio, lens = tiny
+    L = cond.shape[-1] * cfg.mel_hop_length
+    noise = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (cond.shape[0], L))
+    outs = []
+    for seed in range(2):
+        out = model.apply(
+            params,
+            noise,
+            cond,
+            train=True,
+            method="infer_from_noise",
+            rngs={
+                "gate": jax.random.PRNGKey(seed),
+                "dropout": jax.random.PRNGKey(seed + 10),
+            },
+        )
+        outs.append(np.asarray(out))
+    # train-mode infer is stochastic only through dropout/gates; forward values
+    # are gate-independent (limit_param_value is identity in fwd), so outputs
+    # may differ only via branch dropout — with p=0.05 on 2 samples they can
+    # coincide; just check finiteness here.
+    assert all(np.isfinite(o).all() for o in outs)
+
+
+def test_token_generator():
+    cfg = get_generator_config("mel_24k_tiny")
+    model = TokenAudioGenerator(
+        vocab_size=32,
+        token_hop_length=64,
+        cond_dim=20,
+        cond_hop_length=64,
+        n_ffts=cfg.n_ffts,
+        hop_lengths=cfg.hop_lengths,
+        channels=cfg.channels,
+        time_embed_channels=cfg.time_embed_channels,
+        conv_kernel_sizes=cfg.conv_kernel_sizes,
+        num_layers=cfg.num_layers,
+        cond_enc_channels=cfg.cond_enc_channels,
+        cond_enc_num_layers=cfg.cond_enc_num_layers,
+        loss_n_filters=cfg.loss_n_filters,
+        loss_n_fft=cfg.loss_n_fft,
+        loss_hop_length=cfg.loss_hop_length,
+    )
+    B, frames = 2, 32
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (B, frames), 0, 32)
+    audio = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, frames * 64))
+    lens = jnp.asarray([frames * 64] * B)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "noise": rng, "gate": rng, "dropout": rng},
+        tokens,
+        audio,
+        lens,
+        train=True,
+    )
+    loss = model.apply(
+        variables,
+        tokens,
+        audio,
+        lens,
+        train=True,
+        rngs={"noise": rng, "gate": rng, "dropout": rng},
+    )
+    assert np.isfinite(float(loss))
+    wav = model.apply(
+        variables, tokens, n_timesteps=2, method="infer", rngs={"noise": rng}
+    )
+    assert wav.shape == (B, frames * 64)
