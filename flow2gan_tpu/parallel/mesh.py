@@ -1,0 +1,82 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's process-group machinery
+(/root/reference/flow2gan/dist.py, torch DDP + NCCL) with the JAX-native
+model: a `jax.sharding.Mesh` with a `data` axis; the train step is jitted
+over the mesh with batch inputs sharded on `data` and params replicated —
+XLA inserts the gradient all-reduce over ICI (GSPMD), no explicit
+collectives or process groups in user code.
+
+Multi-host: call `init_distributed()` once per process (coordinator env vars
+as in jax.distributed), then the same code runs unchanged — `make_mesh` uses
+all global devices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(**kwargs) -> None:
+    """Multi-host init (reference setup_dist, dist.py:25-43). No-op when
+    single-process."""
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        # single-process / already initialized
+        pass
+
+
+def make_mesh(
+    axis_names: Sequence[str] = ("data",),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """1-D data mesh over all devices by default."""
+    if devices is None:
+        devices = jax.devices()
+    arr = np.asarray(devices)
+    if len(axis_names) > 1:
+        raise NotImplementedError(
+            "flow2gan models are data-parallel (the reference's only strategy); "
+            "pass a prebuilt Mesh for experimental layouts"
+        )
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dim on 'data', replicate the rest."""
+    spec = P("data", *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a pytree of host arrays with batch-dim sharding."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Device-put a pytree fully replicated over the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def process_local_batch_slice(global_batch_size: int) -> slice:
+    """The slice of a global batch this host should feed (multi-host data
+    loading): contiguous per-process shard."""
+    n = jax.process_count()
+    assert global_batch_size % n == 0, (global_batch_size, n)
+    per = global_batch_size // n
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

@@ -1,0 +1,143 @@
+"""Checkpoint save/load/averaging tests, incl. golden comparison of the
+windowed running-average differencing against the reference implementation."""
+
+import numpy as np
+import pytest
+import torch
+
+from flow2gan_tpu.training.checkpoint import (
+    average_checkpoints,
+    average_checkpoints_with_averaged_model,
+    find_checkpoints,
+    load_checkpoint,
+    remove_checkpoints,
+    save_checkpoint,
+    save_checkpoint_with_global_batch_idx,
+    update_averaged_model,
+    update_ema_model,
+)
+
+from .reference_stubs import import_reference
+
+
+def _params(seed, scale=1.0):
+    rng = np.random.RandomState(seed)
+    return {
+        "layer": {"kernel": np.asarray(rng.randn(4, 3) * scale, np.float32)},
+        "scalar": np.asarray(rng.randn() * scale, np.float32).reshape(()),
+    }
+
+
+def test_save_load_roundtrip(tmp_path):
+    p = _params(0)
+    avg = {k: np.asarray(v, np.float64) if not isinstance(v, dict) else
+           {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+           for k, v in p.items()}
+    save_checkpoint(
+        tmp_path / "epoch-1.ckpt",
+        params=p,
+        model_avg=avg,
+        scheduler_state={"batch": 10, "epoch": 1},
+        train_params={"batch_idx_train": 1234, "base_lr": 0.035},
+    )
+    ckpt = load_checkpoint(tmp_path / "epoch-1.ckpt")
+    np.testing.assert_array_equal(ckpt["model"]["layer"]["kernel"], p["layer"]["kernel"])
+    assert ckpt["model_avg"]["layer"]["kernel"].dtype == np.float64
+    assert ckpt["batch_idx_train"] == 1234
+    assert ckpt["scheduler"]["batch"] == 10
+
+
+def test_update_averaged_model_polyak():
+    avg = {"w": np.full((2,), 1.0, np.float64)}
+    cur = {"w": np.full((2,), 3.0, np.float32)}
+    # avg = cur * (200/1000) + avg * 0.8 = 3*0.2 + 1*0.8 = 1.4
+    out = update_averaged_model(avg, cur, average_period=200, batch_idx_train=1000)
+    np.testing.assert_allclose(out["w"], 1.4)
+
+
+def test_update_ema():
+    ema = {"w": np.full((2,), 1.0, np.float64)}
+    cur = {"w": np.full((2,), 2.0, np.float32)}
+    out = update_ema_model(ema, cur, ema_decay=0.9)
+    np.testing.assert_allclose(out["w"], 1.1)
+
+
+def test_average_checkpoints_plain(tmp_path):
+    for i, seed in enumerate([1, 2, 3]):
+        save_checkpoint(tmp_path / f"epoch-{i}.ckpt", params=_params(seed))
+    avg = average_checkpoints([tmp_path / f"epoch-{i}.ckpt" for i in range(3)])
+    expect = np.mean(
+        [_params(s)["layer"]["kernel"] for s in [1, 2, 3]], axis=0
+    )
+    np.testing.assert_allclose(avg["layer"]["kernel"], expect, rtol=1e-6)
+
+
+def test_windowed_average_matches_reference(tmp_path, reference_dir):
+    """Golden: our running-average differencing == reference
+    average_checkpoints_with_averaged_model on identical synthetic data."""
+    import_reference()
+    from flow2gan.checkpoint import (
+        average_checkpoints_with_averaged_model as ref_avg,
+    )
+
+    avg_start = _params(10, scale=5.0)
+    avg_end = _params(11, scale=5.0)
+    b_start, b_end = 40_000, 100_000
+
+    # ours
+    save_checkpoint(
+        tmp_path / "epoch-10.ckpt",
+        params=_params(0),
+        model_avg=avg_start,
+        train_params={"batch_idx_train": b_start},
+    )
+    save_checkpoint(
+        tmp_path / "epoch-25.ckpt",
+        params=_params(1),
+        model_avg=avg_end,
+        train_params={"batch_idx_train": b_end},
+    )
+    ours = average_checkpoints_with_averaged_model(
+        tmp_path / "epoch-10.ckpt", tmp_path / "epoch-25.ckpt"
+    )
+
+    # reference (torch files with the same contents)
+    def to_torch(d):
+        return {
+            "layer.kernel": torch.from_numpy(np.asarray(d["layer"]["kernel"], np.float64)),
+            "scalar": torch.from_numpy(np.asarray(d["scalar"], np.float64).reshape(())),
+        }
+
+    torch.save(
+        {"model_avg": to_torch(avg_start), "batch_idx_train": b_start},
+        tmp_path / "ref-start.pt",
+    )
+    torch.save(
+        {"model_avg": to_torch(avg_end), "batch_idx_train": b_end},
+        tmp_path / "ref-end.pt",
+    )
+    theirs = ref_avg(str(tmp_path / "ref-start.pt"), str(tmp_path / "ref-end.pt"))
+
+    np.testing.assert_allclose(
+        ours["layer"]["kernel"],
+        theirs["layer.kernel"].numpy().astype(np.float32),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["scalar"]),
+        theirs["scalar"].numpy().astype(np.float32),
+        rtol=1e-6,
+    )
+
+
+def test_topk_retention(tmp_path):
+    for i in [100, 200, 300, 400]:
+        save_checkpoint_with_global_batch_idx(
+            tmp_path, i, params=_params(i)
+        )
+    found = find_checkpoints(tmp_path)
+    assert len(found) == 4 and "400" in found[0]
+    remove_checkpoints(tmp_path, topk=2)
+    found = find_checkpoints(tmp_path)
+    assert len(found) == 2
+    assert "400" in found[0] and "300" in found[1]

@@ -1,0 +1,141 @@
+"""Golden tests: JAX ScaledAdam / Eden2 vs the reference torch implementation
+(/root/reference/flow2gan/optim.py), run side by side on identical parameters
+and synthetic gradients for 260 steps — crossing every clipping-threshold
+recalibration boundary (10/20/40/100/200) and many size-update periods.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from flow2gan_tpu.training.optim import eden2_lr, make_eden2, scaled_adam
+
+from .reference_stubs import import_reference
+
+SHAPES = {
+    "w1": (6, 5),
+    "w2": (6, 5),  # same shape as w1: exercises the reference's batching path
+    "b1": (6,),
+    "scalar": (),
+    "deep": (3, 4, 2),
+}
+N_STEPS = 260
+BASE_LR = 0.045
+LR_BATCHES = 75.0
+
+
+def _make_inputs():
+    rng = np.random.RandomState(0)
+    def randn(s, scale=1.0):
+        return np.asarray(rng.randn(*s) * scale, dtype=np.float32).reshape(s)
+
+    params = {k: randn(s, 0.5) for k, s in SHAPES.items()}
+    # occasional large-gradient spikes to exercise clipping
+    grads = []
+    for i in range(N_STEPS):
+        g = {k: randn(s) for k, s in SHAPES.items()}
+        if i % 37 == 5:
+            g = {k: np.asarray(v * 25.0, dtype=np.float32).reshape(v.shape) for k, v in g.items()}
+        grads.append(g)
+    return params, grads
+
+
+@pytest.fixture(scope="module")
+def torch_trajectory(reference_dir):
+    import_reference()
+    from flow2gan.optim import Eden2, ScaledAdam
+
+    params0, grads = _make_inputs()
+    tparams = {
+        k: torch.nn.Parameter(torch.from_numpy(v.copy())) for k, v in params0.items()
+    }
+    opt = ScaledAdam(
+        [(k, p) for k, p in tparams.items()],
+        lr=BASE_LR,
+        clipping_scale=2.0,
+    )
+    sched = Eden2(opt, lr_batches=LR_BATCHES)
+    snaps = {}
+    for i, g in enumerate(grads):
+        sched.step_batch(i)  # lr for this step
+        for k, p in tparams.items():
+            p.grad = torch.from_numpy(g[k].copy())
+        opt.step()
+        opt.zero_grad()
+        if i + 1 in (1, 5, 11, 50, 101, N_STEPS):
+            snaps[i + 1] = {k: p.detach().numpy().copy() for k, p in tparams.items()}
+    return params0, grads, snaps
+
+
+def test_scaled_adam_matches_reference(torch_trajectory):
+    params0, grads, torch_snaps = torch_trajectory
+    opt = scaled_adam(clipping_scale=2.0)
+    params = {k: jnp.asarray(v) for k, v in params0.items()}
+    state = opt.init(params)
+
+    @jax.jit
+    def step_fn(params, state, g, lr):
+        updates, state = opt.update(g, state, params, lr=lr)
+        return optax.apply_updates(params, updates), state
+
+    for i, g in enumerate(grads):
+        lr = eden2_lr(BASE_LR, i, LR_BATCHES)
+        params, state = step_fn(params, state, {k: jnp.asarray(v) for k, v in g.items()}, lr)
+        if i + 1 in torch_snaps:
+            for k in params:
+                ours = np.asarray(params[k])
+                theirs = torch_snaps[i + 1][k]
+                scale = np.abs(theirs).max() + 1e-8
+                err = np.abs(ours - theirs).max() / scale
+                assert err < 2e-4, f"step {i+1} param {k}: rel err {err}"
+
+
+def test_eden2_matches_reference(reference_dir):
+    import_reference()
+    from flow2gan.optim import Eden2, ScaledAdam
+
+    p = torch.nn.Parameter(torch.zeros(3))
+    opt = ScaledAdam([p], lr=0.035)
+    sched = Eden2(opt, lr_batches=7500)
+    for batch in [0, 1, 100, 499, 500, 501, 5000, 7500, 100000]:
+        sched.step_batch(batch)
+        theirs = opt.param_groups[0]["lr"]
+        ours = float(eden2_lr(0.035, batch, 7500))
+        assert abs(ours - theirs) / theirs < 1e-6, (batch, ours, theirs)
+
+
+def test_scheduler_wrapper_state_roundtrip():
+    s = make_eden2(0.035, 7500)
+    for _ in range(10):
+        s.step_batch()
+    d = s.state_dict()
+    s2 = make_eden2(0.035, 7500)
+    s2.load_state_dict(d)
+    assert s2.get_lr() == s.get_lr()
+
+
+def test_scalar_clamp():
+    opt = scaled_adam(scalar_max=10.0)
+    params = {"s": jnp.asarray(9.999)}
+    state = opt.init(params)
+    for _ in range(200):
+        updates, state = opt.update(
+            {"s": jnp.asarray(-5.0)}, state, params, lr=1.0
+        )
+        params = optax.apply_updates(params, updates)
+    assert float(params["s"]) <= 10.0 + 1e-6
+
+
+def test_zero_grads_no_nan():
+    opt = scaled_adam(clipping_scale=2.0)
+    params = {"w": jnp.ones((4, 4))}
+    state = opt.init(params)
+    g = {"w": jnp.zeros((4, 4))}
+    for _ in range(5):
+        updates, state = opt.update(g, state, params, lr=0.01)
+        params = optax.apply_updates(params, updates)
+    assert np.isfinite(np.asarray(params["w"])).all()
