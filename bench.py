@@ -7,6 +7,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,6 +23,11 @@ def main():
     from flow2gan_tpu.models import build_generator, get_generator_config
 
     cfg = get_generator_config("mel_24k_base")
+    # bf16 compute is the TPU serving configuration (params stay f32;
+    # FFT/iSTFT stay f32); ~4x over f32 on v5e, 43 dB SNR vs the f32 output.
+    cfg["compute_dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
+    if cfg["compute_dtype"] in ("float32", "f32"):
+        cfg["compute_dtype"] = None
     model = build_generator(cfg)
     rng = jax.random.PRNGKey(0)
 

@@ -1,0 +1,399 @@
+#!/usr/bin/env python3
+"""GAN fine-tuning (stage 2) on a TPU mesh.
+
+Re-design of /root/reference/flow2gan/bin/finetune.py: D-only warmup for
+`--gen-start-batch-idx` batches, then strict D/G alternation
+(finetune.py:604-626); two ScaledAdam+Eden2 pairs with separate lrs
+(0.02/0.002) and lr_batches (5000/20000); 7 loss scales; generator
+initialized from an averaged FM checkpoint; branch dropout disabled.
+
+Usage:
+  python -m flow2gan_tpu.bin.finetune \
+    --exp-dir exp/gan_4step --model-name mel_24k_base \
+    --generator-model-path exp/fm/averaged.ckpt --n-timesteps 4 \
+    --train-recordings data/train_recordings.jsonl.gz --batch-size 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import random
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from flow2gan_tpu.data.dataset import build_data_loader, read_recording_manifest
+from flow2gan_tpu.models import (
+    build_generator,
+    get_gan_config,
+    get_generator_config,
+)
+from flow2gan_tpu.models.discriminators import Discriminators
+from flow2gan_tpu.models.gan import make_mel_recon_fns
+from flow2gan_tpu.ops.mel import LogMelSpectrogram
+from flow2gan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from flow2gan_tpu.training import checkpoint as ckpt
+from flow2gan_tpu.training.env import get_env_info
+from flow2gan_tpu.training.err import raise_nonfinite_loss_error
+from flow2gan_tpu.training.gan_step import (
+    GANLossScales,
+    GANTrainState,
+    init_gan_train_state,
+    make_gan_steps,
+)
+from flow2gan_tpu.training.optim import eden2_lr, scaled_adam
+from flow2gan_tpu.utils import (
+    AttributeDict,
+    MetricsTracker,
+    setup_logger,
+    str2bool,
+    to_float_tuple,
+)
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(
+        description="GAN fine-tuning (TPU)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--exp-dir", type=Path, default=Path("exp/gan"))
+    parser.add_argument("--model-name", type=str, default="mel_24k_base")
+    parser.add_argument("--gan-name", type=str, default="gan_multi_scale_mel_recon")
+    parser.add_argument("--generator-model-path", type=str, default=None,
+                        help="Averaged FM checkpoint (.ckpt or torch .pt)")
+    parser.add_argument("--n-timesteps", type=int, default=1)
+    parser.add_argument("--num-epochs", type=int, default=20)
+    parser.add_argument("--start-epoch", type=int, default=1)
+    parser.add_argument("--lr-g", type=float, default=0.002)
+    parser.add_argument("--lr-d", type=float, default=0.02)
+    parser.add_argument("--lr-batches-g", type=float, default=20000)
+    parser.add_argument("--lr-batches-d", type=float, default=5000)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--duration", type=float, default=1.5)
+    parser.add_argument("--max-load-times", type=int, default=3)
+    parser.add_argument("--train-recordings", type=str, required=False)
+    parser.add_argument("--train-dls-weights", type=str, default=None)
+    parser.add_argument("--valid-recordings", type=str, required=False)
+    parser.add_argument("--num-workers", type=int, default=8)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--disc-loss-mp-scale", type=float, default=1.0)
+    parser.add_argument("--disc-loss-mr-scale", type=float, default=0.1)
+    parser.add_argument("--gen-loss-mp-scale", type=float, default=1.0)
+    parser.add_argument("--gen-loss-mr-scale", type=float, default=0.1)
+    parser.add_argument("--feat-map-loss-mp-scale", type=float, default=1.0)
+    parser.add_argument("--feat-map-loss-mr-scale", type=float, default=0.1)
+    parser.add_argument("--mel-recon-loss-scale", type=float, default=45.0)
+    parser.add_argument("--gen-start-batch-idx", type=int, default=1000,
+                        help="D-only warmup length before alternation starts")
+    parser.add_argument("--average-period", type=int, default=200)
+    parser.add_argument("--log-interval", type=int, default=50)
+    parser.add_argument("--valid-interval", type=int, default=1000)
+    parser.add_argument("--save-every-n", type=int, default=4000)
+    parser.add_argument("--keep-last-k", type=int, default=30)
+    parser.add_argument("--tensorboard", type=str2bool, default=True)
+    return parser
+
+
+def load_generator_init(path: str, model, init_params, mel_fn):
+    """Initialize generator params from an averaged FM checkpoint
+    (reference --generator-model-path, bin/finetune.py:410-426)."""
+    if path.endswith(".pt"):
+        from flow2gan_tpu.compat.torch_convert import (
+            convert_torch_state_dict,
+            load_torch_file,
+            strip_prefixes,
+        )
+
+        sd = strip_prefixes(load_torch_file(path))
+        params, _, _ = convert_torch_state_dict(sd, init_params)
+        return params
+    loaded = ckpt.load_checkpoint(path)
+    tree = loaded["model"] if "model" in loaded else loaded
+    return ckpt.restore_params(init_params, tree)
+
+
+def run(args):
+    params = AttributeDict({"batch_idx_train": 0, "env_info": get_env_info()})
+    params.update(vars(args))
+    params.exp_dir = Path(params.exp_dir)
+    params.exp_dir.mkdir(parents=True, exist_ok=True)
+    setup_logger(
+        f"{params.exp_dir}/log/log-train",
+        rank=jax.process_index(),
+        world_size=jax.process_count(),
+    )
+    logging.info("GAN fine-tuning started")
+    logging.info(params)
+
+    random.seed(params.seed)
+    np.random.seed(params.seed)
+
+    cfg = get_generator_config(params.model_name)
+    cfg["branch_dropout"] = 0.0  # reference disables it (bin/finetune.py:414)
+    gan_cfg = get_gan_config(params.gan_name)
+    generator = build_generator(cfg)
+    discriminators = Discriminators()
+    mel_fn = LogMelSpectrogram(
+        sampling_rate=cfg.sampling_rate,
+        n_fft=cfg.mel_n_fft,
+        hop_length=cfg.mel_hop_length,
+        n_mels=cfg.n_mels,
+    )
+    mel_recon_fns = make_mel_recon_fns(
+        cfg.sampling_rate, gan_cfg.mel_recon_n_ffts, gan_cfg.mel_recon_n_mels
+    )
+
+    mesh = make_mesh(("data",))
+    fixed_len = int(params.duration * cfg.sampling_rate)
+    rng = jax.random.PRNGKey(params.seed)
+    audio0 = jnp.zeros((2, fixed_len), jnp.float32)
+    params_g = generator.init(
+        {"params": rng, "noise": rng}, mel_fn(audio0), n_timesteps=1, method="infer"
+    )["params"]
+    params_d = discriminators.init(rng, audio0, audio0)["params"]
+
+    if params.generator_model_path:
+        logging.info(f"Loading generator from {params.generator_model_path}")
+        params_g = load_generator_init(
+            params.generator_model_path, generator, params_g, mel_fn
+        )
+
+    opt_g = scaled_adam(clipping_scale=2.0)
+    opt_d = scaled_adam(clipping_scale=2.0)
+    scales = GANLossScales(
+        disc_mp=params.disc_loss_mp_scale,
+        disc_mr=params.disc_loss_mr_scale,
+        gen_mp=params.gen_loss_mp_scale,
+        gen_mr=params.gen_loss_mr_scale,
+        fmap_mp=params.feat_map_loss_mp_scale,
+        fmap_mr=params.feat_map_loss_mr_scale,
+        mel_recon=params.mel_recon_loss_scale,
+    )
+    d_step, g_step, eval_step = make_gan_steps(
+        generator,
+        discriminators,
+        mel_fn,
+        mel_recon_fns,
+        opt_g,
+        opt_d,
+        lr_g_fn=lambda b: eden2_lr(params.lr_g, b, params.lr_batches_g),
+        lr_d_fn=lambda b: eden2_lr(params.lr_d, b, params.lr_batches_d),
+        n_timesteps=params.n_timesteps,
+        scales=scales,
+    )
+
+    state = init_gan_train_state(
+        replicate(params_g, mesh), replicate(params_d, mesh), opt_g, opt_d
+    )
+    model_avg = jax.tree.map(lambda x: np.asarray(x, np.float64), params_g)
+
+    # resume
+    if params.start_epoch > 1:
+        resume = params.exp_dir / f"epoch-{params.start_epoch - 1}.ckpt"
+        if resume.exists():
+            logging.info(f"Resuming from {resume}")
+            loaded = ckpt.load_checkpoint(resume)
+            state = GANTrainState(
+                params_g=replicate(
+                    ckpt.restore_params(params_g, loaded["model"]["generator"]), mesh
+                ),
+                params_d=replicate(
+                    ckpt.restore_params(params_d, loaded["model"]["discriminator"]),
+                    mesh,
+                ),
+                opt_g=ckpt.restore_params(
+                    jax.tree.map(np.asarray, state.opt_g), loaded["optimizer"]["g"]
+                ),
+                opt_d=ckpt.restore_params(
+                    jax.tree.map(np.asarray, state.opt_d), loaded["optimizer"]["d"]
+                ),
+                batch_idx=jnp.asarray(loaded.get("batch_idx_train", 0), jnp.int32),
+            )
+            if loaded.get("model_avg") is not None:
+                model_avg = ckpt.restore_params(model_avg, loaded["model_avg"])
+            params.batch_idx_train = int(loaded.get("batch_idx_train", 0))
+            params.train_disc = bool(loaded.get("train_disc", True))
+
+    # ---- data
+    train_dls = [
+        build_data_loader(
+            read_recording_manifest(p),
+            sampling_rate=cfg.sampling_rate,
+            batch_size=params.batch_size,
+            num_workers=params.num_workers,
+            train=True,
+            duration=params.duration,
+            max_load_times=params.max_load_times,
+            seed=params.seed,
+            drop_last=True,
+        )
+        for p in params.train_recordings.split(",")
+    ]
+    dls_weights = (
+        list(to_float_tuple(params.train_dls_weights))
+        if params.train_dls_weights
+        else [1.0] * len(train_dls)
+    )
+    valid_dls = []
+    if params.valid_recordings:
+        valid_dls = [
+            build_data_loader(
+                read_recording_manifest(p),
+                sampling_rate=cfg.sampling_rate,
+                batch_size=min(params.batch_size, 16),
+                num_workers=params.num_workers,
+                train=False,
+                duration=params.duration,
+            )
+            for p in params.valid_recordings.split(",")
+        ]
+
+    tb_writer = None
+    if params.tensorboard and jax.process_index() == 0:
+        from tensorboardX import SummaryWriter
+
+        tb_writer = SummaryWriter(log_dir=f"{params.exp_dir}/tensorboard")
+
+    params.setdefault("train_disc", True)
+    step_rng = jax.random.PRNGKey(params.seed + 1)
+
+    def save_epoch(epoch):
+        if jax.process_index() != 0:
+            return
+        ckpt.save_checkpoint(
+            params.exp_dir / f"epoch-{epoch}.ckpt",
+            params={
+                "generator": jax.tree.map(np.asarray, state.params_g),
+                "discriminator": jax.tree.map(np.asarray, state.params_d),
+            },
+            model_avg=model_avg,
+            optimizer_state={
+                "g": jax.tree.map(np.asarray, state.opt_g),
+                "d": jax.tree.map(np.asarray, state.opt_d),
+            },
+            train_params={
+                "batch_idx_train": params.batch_idx_train,
+                "train_disc": params.train_disc,
+                "env_info": params.env_info,
+                "model_name": params.model_name,
+                "n_timesteps": params.n_timesteps,
+            },
+        )
+
+    for epoch in range(params.start_epoch, params.num_epochs + 1):
+        for dl in train_dls:
+            dl.set_epoch(epoch)
+        iters = [iter(dl) for dl in train_dls]
+        rng_py = random.Random(params.seed + epoch)
+        tot_g = MetricsTracker()
+        tot_d = MetricsTracker()
+        batch_idx = 0
+        while True:
+            dl_idx = rng_py.choices(range(len(iters)), weights=dls_weights, k=1)[0]
+            try:
+                batch = next(iters[dl_idx])
+            except StopIteration:
+                logging.info(f"Reach end of dataloader {dl_idx}")
+                break
+            batch_idx += 1
+            params.batch_idx_train += 1
+            n = batch["audio"].shape[0]
+            device_batch = shard_batch(
+                {"audio": batch["audio"], "audio_lens": batch["audio_lens"]}, mesh
+            )
+
+            if params.train_disc:
+                state, metrics = d_step(state, device_batch, step_rng)
+                loss_val = float(metrics["loss_d"])
+                info = MetricsTracker()
+                info["samples"] = n
+                for k in ("loss_d", "disc_loss_mp", "disc_loss_mr"):
+                    info[k] = float(metrics[k]) * n
+                tot_d = tot_d + info
+                if params.batch_idx_train >= params.gen_start_batch_idx:
+                    params.train_disc = False
+            else:
+                state, metrics = g_step(state, device_batch, step_rng)
+                loss_val = float(metrics["loss_g"])
+                info = MetricsTracker()
+                info["samples"] = n
+                for k in (
+                    "loss_g",
+                    "gen_loss_mp",
+                    "gen_loss_mr",
+                    "feat_map_loss_mp",
+                    "feat_map_loss_mr",
+                    "mel_recon_loss",
+                ):
+                    info[k] = float(metrics[k]) * n
+                tot_g = tot_g + info
+                params.train_disc = True
+
+            if not np.isfinite(loss_val):
+                save_epoch(f"bad-{epoch}")
+                raise_nonfinite_loss_error(params.batch_idx_train)
+
+            if (
+                jax.process_index() == 0
+                and params.batch_idx_train % params.average_period == 0
+            ):
+                model_avg = ckpt.update_averaged_model(
+                    model_avg,
+                    jax.tree.map(np.asarray, state.params_g),
+                    params.average_period,
+                    params.batch_idx_train,
+                )
+
+            if params.batch_idx_train % params.log_interval in (0, 1):
+                logging.info(
+                    f"Epoch {epoch}, batch {batch_idx}, global {params.batch_idx_train}, "
+                    f"{'D' if 'loss_d' in metrics else 'G'} loss {loss_val:.4f}; "
+                    f"G avg: {tot_g}; D avg: {tot_d}"
+                )
+                if tb_writer is not None:
+                    for k, v in metrics.items():
+                        if k != "samples":
+                            tb_writer.add_scalar(
+                                f"train/{k}", float(v), params.batch_idx_train
+                            )
+
+            if (
+                params.valid_interval > 0
+                and params.batch_idx_train % params.valid_interval == 0
+                and valid_dls
+            ):
+                vinfo = MetricsTracker()
+                for dl in valid_dls:
+                    for vb in dl:
+                        vbd = {
+                            "audio": jnp.asarray(vb["audio"]),
+                            "audio_lens": jnp.asarray(vb["audio_lens"]),
+                        }
+                        m = eval_step(
+                            state.params_g, state.params_d, shard_batch(vbd, mesh),
+                            step_rng,
+                        )
+                        bn = vb["audio"].shape[0]
+                        vinfo["samples"] += bn
+                        for k in ("loss_g", "mel_recon_loss"):
+                            vinfo[k] += float(m[k]) * bn
+                vinfo.reduce()
+                logging.info(f"Epoch {epoch}, validation: {vinfo}")
+                if tb_writer is not None:
+                    vinfo.write_summary(tb_writer, "train/valid_", params.batch_idx_train)
+
+        save_epoch(epoch)
+    logging.info("Done!")
+
+
+def main():
+    args = get_parser().parse_args()
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

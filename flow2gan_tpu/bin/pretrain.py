@@ -1,0 +1,447 @@
+#!/usr/bin/env python3
+"""Flow-Matching pretraining (stage 1) on a TPU mesh.
+
+TPU-native re-design of /root/reference/flow2gan/bin/pretrain.py: same CLI
+capability surface (multi-dataset weighted sampling, periodic validation with
+cross-process reduction, fp64 running-average model, epoch + global-batch
+checkpoints with topk retention, TensorBoard scalars + audio/spectrogram
+sample dumps, diagnostics mode, inf-check), but one process drives all local
+devices — DDP/mp.spawn/GradScaler are replaced by a jitted step over a
+`data` mesh.
+
+Usage:
+  python -m flow2gan_tpu.bin.pretrain \
+    --exp-dir exp/fm --model-name mel_24k_base \
+    --train-recordings data/train_recordings.jsonl.gz \
+    --valid-recordings data/valid_recordings.jsonl.gz \
+    --num-epochs 200 --batch-size 256 --base-lr 0.035
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import random
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from flow2gan_tpu.data.dataset import build_data_loader, read_recording_manifest
+from flow2gan_tpu.models import build_generator, get_generator_config
+from flow2gan_tpu.ops.mel import LogMelSpectrogram
+from flow2gan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from flow2gan_tpu.training import checkpoint as ckpt
+from flow2gan_tpu.training.diagnostics import DiagnosticsCollector
+from flow2gan_tpu.training.env import get_env_info
+from flow2gan_tpu.training.err import raise_nonfinite_loss_error
+from flow2gan_tpu.training.hooks import find_nonfinite_leaves
+from flow2gan_tpu.training.optim import eden2_lr, scaled_adam
+from flow2gan_tpu.training.train_step import (
+    TrainState,
+    init_train_state,
+    make_fm_eval_step,
+    make_fm_train_step,
+)
+from flow2gan_tpu.utils import (
+    AttributeDict,
+    MetricsTracker,
+    plot_feature,
+    setup_logger,
+    str2bool,
+    to_float_tuple,
+)
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(
+        description="Flow-Matching pretraining (TPU)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--exp-dir", type=Path, default=Path("exp/fm"))
+    parser.add_argument("--model-name", type=str, default="mel_24k_base")
+    parser.add_argument("--num-epochs", type=int, default=200)
+    parser.add_argument("--start-epoch", type=int, default=1,
+                        help="Resume from epoch-{start-epoch-1}.ckpt when > 1")
+    parser.add_argument("--base-lr", type=float, default=0.035)
+    parser.add_argument("--lr-batches", type=float, default=7500)
+    parser.add_argument("--batch-size", type=int, default=256,
+                        help="GLOBAL batch size (split over devices)")
+    parser.add_argument("--duration", type=float, default=1.5,
+                        help="Training crop length in seconds")
+    parser.add_argument("--max-load-times", type=int, default=3)
+    parser.add_argument("--train-recordings", type=str, required=False,
+                        help="CSV of recordings.jsonl[.gz] manifests")
+    parser.add_argument("--train-dls-weights", type=str, default=None,
+                        help="CSV of sampling weights, one per train manifest")
+    parser.add_argument("--valid-recordings", type=str, required=False)
+    parser.add_argument("--num-workers", type=int, default=8)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--print-diagnostics", type=str2bool, default=False)
+    parser.add_argument("--inf-check", type=str2bool, default=False)
+    parser.add_argument("--save-every-n", type=int, default=4000,
+                        help="Save checkpoint-{global_batch}.ckpt every N batches")
+    parser.add_argument("--keep-last-k", type=int, default=30)
+    parser.add_argument("--average-period", type=int, default=200)
+    parser.add_argument("--log-interval", type=int, default=50)
+    parser.add_argument("--valid-interval", type=int, default=2000)
+    parser.add_argument("--use-bf16", type=str2bool, default=False,
+                        help="bf16 activations in the model compute path")
+    parser.add_argument("--tensorboard", type=str2bool, default=True)
+    return parser
+
+
+def get_train_params(args) -> AttributeDict:
+    params = AttributeDict(
+        {
+            "batch_idx_train": 0,
+            "best_valid_loss": float("inf"),
+            "env_info": get_env_info(),
+        }
+    )
+    params.update(vars(args))
+    return params
+
+
+def load_manifests(csv: str):
+    recs_list = []
+    for path in csv.split(","):
+        recs_list.append(read_recording_manifest(path))
+    return recs_list
+
+
+def compute_validation_loss(params, eval_step, state, valid_dls, mesh, rng):
+    tot = MetricsTracker()
+    for dl in valid_dls:
+        for batch in dl:
+            b = {
+                "audio": jnp.asarray(batch["audio"]),
+                "audio_lens": jnp.asarray(batch["audio_lens"]),
+            }
+            b = shard_batch(b, mesh) if mesh is not None else b
+            loss = eval_step(state.params, b, rng)
+            n = batch["audio"].shape[0]
+            tot["loss"] += float(loss) * n
+            tot["samples"] += n
+    tot.reduce()
+    return tot
+
+
+def save_test_samples(params, model, state, mel_fn, test_batch, tb_writer):
+    """Generate audio at 2/4/8 steps for TB (reference bin/pretrain.py:608-680)."""
+    if tb_writer is None or test_batch is None:
+        return
+    audio = jnp.asarray(test_batch["audio"][:1])
+    cond = mel_fn(audio)
+    sr = params.sampling_rate
+    tb_writer.add_audio(
+        "test/ground_truth", np.asarray(audio)[0], params.batch_idx_train, sr
+    )
+    for n_steps in (2, 4, 8):
+        wav = model.apply(
+            {"params": state.params},
+            cond,
+            n_timesteps=n_steps,
+            clamp_pred=True,
+            method="infer",
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        wav = np.asarray(wav)[0]
+        tb_writer.add_audio(
+            f"test/gen_{n_steps}step", wav, params.batch_idx_train, sr
+        )
+        mel_img = np.asarray(mel_fn(jnp.asarray(wav[None])))[0]
+        tb_writer.add_image(
+            f"test/mel_{n_steps}step",
+            plot_feature(mel_img),
+            params.batch_idx_train,
+            dataformats="HWC",
+        )
+
+
+def run(args):
+    params = get_train_params(args)
+    params.exp_dir = Path(params.exp_dir)
+    params.exp_dir.mkdir(parents=True, exist_ok=True)
+    setup_logger(
+        f"{params.exp_dir}/log/log-train",
+        rank=jax.process_index(),
+        world_size=jax.process_count(),
+    )
+    logging.info("Training started")
+    logging.info(params)
+
+    random.seed(params.seed)
+    np.random.seed(params.seed)
+
+    cfg = get_generator_config(params.model_name)
+    params.sampling_rate = cfg.sampling_rate
+    model = build_generator(cfg)
+    mel_fn = LogMelSpectrogram(
+        sampling_rate=cfg.sampling_rate,
+        n_fft=cfg.mel_n_fft,
+        hop_length=cfg.mel_hop_length,
+        n_mels=cfg.n_mels,
+    )
+
+    mesh = make_mesh(("data",))
+    n_dev = jax.device_count()
+    assert params.batch_size % n_dev == 0, (params.batch_size, n_dev)
+
+    # ---- data
+    fixed_len = int(params.duration * cfg.sampling_rate)
+    train_recs = load_manifests(params.train_recordings)
+    train_dls = [
+        build_data_loader(
+            recs,
+            sampling_rate=cfg.sampling_rate,
+            batch_size=params.batch_size,
+            num_workers=params.num_workers,
+            train=True,
+            duration=params.duration,
+            max_load_times=params.max_load_times,
+            seed=params.seed,
+            drop_last=True,
+        )
+        for recs in train_recs
+    ]
+    if params.train_dls_weights:
+        dls_weights = list(to_float_tuple(params.train_dls_weights))
+        assert len(dls_weights) == len(train_dls)
+    else:
+        dls_weights = [1.0] * len(train_dls)
+
+    valid_dls = []
+    if params.valid_recordings:
+        valid_dls = [
+            build_data_loader(
+                recs,
+                sampling_rate=cfg.sampling_rate,
+                batch_size=min(params.batch_size, 32),
+                num_workers=params.num_workers,
+                train=False,
+                duration=params.duration,
+            )
+            for recs in load_manifests(params.valid_recordings)
+        ]
+    test_batch = None
+    if valid_dls:
+        test_batch = next(iter(valid_dls[0]))
+
+    # ---- model / optimizer state
+    rng = jax.random.PRNGKey(params.seed)
+    example = {
+        "audio": jnp.zeros((2, fixed_len), jnp.float32),
+        "audio_lens": jnp.full((2,), fixed_len, jnp.int32),
+    }
+    variables = model.init(
+        {"params": rng, "noise": rng, "gate": rng, "dropout": rng},
+        mel_fn(example["audio"]),
+        example["audio"],
+        example["audio_lens"],
+        train=True,
+    )
+    init_params = variables["params"]
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(init_params))
+    logging.info(f"Number of model parameters: {n_params}")
+
+    optimizer = scaled_adam(clipping_scale=2.0)
+    lr_fn = lambda b: eden2_lr(params.base_lr, b, params.lr_batches)
+    train_step = make_fm_train_step(model, optimizer, lr_fn, mel_fn=mel_fn)
+    eval_step = make_fm_eval_step(model, mel_fn=mel_fn)
+
+    state = init_train_state(replicate(init_params, mesh), optimizer)
+    model_avg = jax.tree.map(lambda x: np.asarray(x, np.float64), init_params)
+
+    # ---- resume
+    if params.start_epoch > 1:
+        resume = params.exp_dir / f"epoch-{params.start_epoch - 1}.ckpt"
+        if resume.exists():
+            logging.info(f"Resuming from {resume}")
+            loaded = ckpt.load_checkpoint(resume)
+            state = TrainState(
+                params=replicate(
+                    ckpt.restore_params(init_params, loaded["model"]), mesh
+                ),
+                opt_state=ckpt.restore_params(
+                    jax.tree.map(np.asarray, state.opt_state), loaded["optimizer"]
+                )
+                if loaded.get("optimizer") is not None
+                else state.opt_state,
+                batch_idx=jnp.asarray(loaded.get("batch_idx_train", 0), jnp.int32),
+            )
+            if loaded.get("model_avg") is not None:
+                model_avg = ckpt.restore_params(model_avg, loaded["model_avg"])
+            params.batch_idx_train = int(loaded.get("batch_idx_train", 0))
+        else:
+            logging.warning(f"No checkpoint {resume}; starting fresh")
+
+    tb_writer = None
+    if params.tensorboard and jax.process_index() == 0:
+        from tensorboardX import SummaryWriter
+
+        tb_writer = SummaryWriter(log_dir=f"{params.exp_dir}/tensorboard")
+
+    diag = DiagnosticsCollector() if params.print_diagnostics else None
+
+    def save_bad_model(suffix=""):
+        ckpt.save_checkpoint(
+            params.exp_dir / f"bad-model{suffix}.ckpt",
+            params=jax.tree.map(np.asarray, state.params),
+            model_avg=model_avg,
+            optimizer_state=jax.tree.map(np.asarray, state.opt_state),
+            train_params={"batch_idx_train": params.batch_idx_train},
+        )
+
+    step_rng = jax.random.PRNGKey(params.seed + 1)
+
+    for epoch in range(params.start_epoch, params.num_epochs + 1):
+        for dl in train_dls:
+            dl.set_epoch(epoch)
+        iters = [iter(dl) for dl in train_dls]
+        tot_losses = [MetricsTracker() for _ in train_dls]
+        rng_py = random.Random(params.seed + epoch)
+
+        batch_idx = 0
+        while True:
+            dl_idx = rng_py.choices(range(len(iters)), weights=dls_weights, k=1)[0]
+            try:
+                batch = next(iters[dl_idx])
+            except StopIteration:
+                logging.info(f"Reach end of dataloader {dl_idx}")
+                break
+            batch_idx += 1
+            params.batch_idx_train += 1
+            n_samples = batch["audio"].shape[0]
+
+            device_batch = shard_batch(
+                {
+                    "audio": batch["audio"],
+                    "audio_lens": batch["audio_lens"],
+                },
+                mesh,
+            )
+            state, metrics = train_step(state, device_batch, step_rng)
+
+            if params.print_diagnostics:
+                # re-run forward with intermediates captured (few batches)
+                _, inter = model.apply(
+                    {"params": state.params},
+                    mel_fn(device_batch["audio"]),
+                    device_batch["audio"],
+                    device_batch["audio_lens"],
+                    train=False,
+                    rngs={"noise": step_rng},
+                    capture_intermediates=True,
+                    mutable=["intermediates"],
+                )
+                diag.collect_intermediates(inter["intermediates"])
+                diag.collect_params(state.params)
+                if batch_idx == 5:
+                    diag.print_diagnostics()
+                    logging.info("Diagnostics done, exiting")
+                    return
+
+            loss_val = float(metrics["loss"])
+            loss_info = MetricsTracker()
+            loss_info["samples"] = n_samples
+            loss_info["loss"] = loss_val * n_samples
+            tot_losses[dl_idx] = tot_losses[dl_idx] + loss_info
+
+            if not np.isfinite(loss_val):
+                save_bad_model()
+                if params.inf_check:
+                    bad = find_nonfinite_leaves(state.params)
+                    logging.warning(f"Non-finite params at: {bad}")
+                raise_nonfinite_loss_error(params.batch_idx_train)
+
+            if (
+                jax.process_index() == 0
+                and params.batch_idx_train % params.average_period == 0
+            ):
+                model_avg = ckpt.update_averaged_model(
+                    model_avg,
+                    jax.tree.map(np.asarray, state.params),
+                    params.average_period,
+                    params.batch_idx_train,
+                )
+
+            if (
+                params.batch_idx_train % params.save_every_n == 0
+                and jax.process_index() == 0
+            ):
+                ckpt.save_checkpoint_with_global_batch_idx(
+                    params.exp_dir,
+                    params.batch_idx_train,
+                    params=jax.tree.map(np.asarray, state.params),
+                    model_avg=model_avg,
+                    optimizer_state=jax.tree.map(np.asarray, state.opt_state),
+                    train_params={"batch_idx_train": params.batch_idx_train},
+                )
+                ckpt.remove_checkpoints(params.exp_dir, topk=params.keep_last_k)
+
+            if params.batch_idx_train % params.log_interval == 0:
+                cur = tot_losses[dl_idx]
+                logging.info(
+                    f"Epoch {epoch}, batch {batch_idx} (dl {dl_idx}), "
+                    f"global {params.batch_idx_train}, "
+                    f"loss {loss_val:.4f}, avg {cur}"
+                    f", lr {float(metrics['lr']):.2e}"
+                    f", clip {float(metrics['clip_scale']):.3f}"
+                )
+                if tb_writer is not None:
+                    tb_writer.add_scalar(
+                        f"train/current_loss_{dl_idx}", loss_val, params.batch_idx_train
+                    )
+                    tb_writer.add_scalar(
+                        "train/learning_rate", float(metrics["lr"]), params.batch_idx_train
+                    )
+                    cur.write_summary(
+                        tb_writer, f"train/tot_loss_{dl_idx}_", params.batch_idx_train
+                    )
+
+            if (
+                params.valid_interval > 0
+                and params.batch_idx_train % params.valid_interval == 0
+                and valid_dls
+            ):
+                logging.info("Computing validation loss")
+                valid_info = compute_validation_loss(
+                    params, eval_step, state, valid_dls, mesh, step_rng
+                )
+                logging.info(f"Epoch {epoch}, validation: {valid_info}")
+                if tb_writer is not None:
+                    valid_info.write_summary(
+                        tb_writer, "train/valid_", params.batch_idx_train
+                    )
+                    save_test_samples(
+                        params, model, state, mel_fn, test_batch, tb_writer
+                    )
+
+        # ---- end of epoch: checkpoint
+        if jax.process_index() == 0:
+            ckpt.save_checkpoint(
+                params.exp_dir / f"epoch-{epoch}.ckpt",
+                params=jax.tree.map(np.asarray, state.params),
+                model_avg=model_avg,
+                optimizer_state=jax.tree.map(np.asarray, state.opt_state),
+                scheduler_state={"batch": params.batch_idx_train, "epoch": epoch},
+                train_params={
+                    "batch_idx_train": params.batch_idx_train,
+                    "env_info": params.env_info,
+                    "model_name": params.model_name,
+                    "base_lr": params.base_lr,
+                },
+            )
+    logging.info("Done!")
+
+
+def main():
+    args = get_parser().parse_args()
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

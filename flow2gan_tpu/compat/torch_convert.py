@@ -45,7 +45,7 @@ _RENAMES = [
     (re.compile(r"\bcond_mlp\.(\d+)\."), r"cond_mlp_\1."),
     (re.compile(r"\bdiscriminators\.(\d+)\."), r"discriminators_\1."),
     (re.compile(r"\bconvs\.(\d+)\."), r"convs_\1."),
-    (re.compile(r"\bband_convs\.(\d+)\."), r"band_convs_\1."),
+    (re.compile(r"\bband_convs\.(\d+)\.(\d+)\."), r"band_convs_\1_\2."),
     (re.compile(r"\bdiscriminator\.(\d+)\."), r"discriminator_\1."),
 ]
 

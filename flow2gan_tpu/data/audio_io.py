@@ -96,8 +96,10 @@ def write_wav(path: Pathlike, audio: np.ndarray, sample_rate: int) -> None:
     if audio.ndim == 1:
         audio = audio[None, :]
     n_channels = audio.shape[0]
-    pcm = np.clip(audio, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2").T.reshape(-1)
+    # scale by 32768 (the readers' convention) and clamp, so read(write(x))
+    # round-trips within 0.5 LSB
+    pcm = np.clip(np.rint(audio * 32768.0), -32768, 32767)
+    pcm = pcm.astype("<i2").T.reshape(-1)
     with wave.open(str(path), "wb") as w:
         w.setnchannels(n_channels)
         w.setsampwidth(2)

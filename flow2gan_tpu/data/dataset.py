@@ -144,6 +144,12 @@ class RecordingDataset:
     def _load_slice(self, rec: Recording, offset_sec: float, dur_sec: float):
         start = int(offset_sec * rec.sampling_rate)
         n = int(dur_sec * rec.sampling_rate)
+        # hot path: native C++ decoder reads only the crop (mono f32)
+        from flow2gan_tpu.data import native_audio
+
+        crop = native_audio.read_crop_mono(rec.path, start, n)
+        if crop is not None:
+            return crop[None, :], rec.sampling_rate
         audio, sr = read_wav(rec.path)
         return audio[:, start : start + n], sr
 

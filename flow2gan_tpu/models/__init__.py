@@ -17,6 +17,11 @@ from flow2gan_tpu.models.generator import (  # noqa: F401
     MelAudioGenerator,
     TokenAudioGenerator,
 )
+from flow2gan_tpu.models.discriminators import (  # noqa: F401
+    Discriminators,
+    MultiPeriodDiscriminator,
+    MultiResolutionDiscriminator,
+)
 from flow2gan_tpu.models.norms import (  # noqa: F401
     BiasNorm,
     ChannelScale,

@@ -61,6 +61,7 @@ class ConvNeXtBlock(nn.Module):
     use_cond: bool = False
     use_time: bool = False
     use_residual_scale: bool = True
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(
@@ -73,30 +74,39 @@ class ConvNeXtBlock(nn.Module):
     ) -> jnp.ndarray:
         residual = x
         if mask is not None:
-            x = x * mask
+            x = x * mask.astype(x.dtype)
         x = nn.Conv(
             self.channels,
             (self.kernel_size,),
             padding="SAME",
             feature_group_count=self.channels,
             kernel_init=_KERNEL_INIT,
+            dtype=self.dtype,
             name="dwconv",
         )(x)
         x = BiasNorm(self.channels, name="norm")(x, train=train)
         if self.use_cond:
             assert cond is not None
-            x = x + nn.Dense(self.channels, kernel_init=_KERNEL_INIT, name="cond_proj")(
-                cond
-            )
+            x = x + nn.Dense(
+                self.channels, kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                name="cond_proj",
+            )(cond)
         if self.use_time:
             assert time_embed is not None
             gain = nn.Dense(
-                self.channels, kernel_init=_KERNEL_INIT, name="time_embed_proj"
+                self.channels, kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                name="time_embed_proj",
             )(time_embed)
             x = x * (1.0 + gain)[:, None, :]
-        x = nn.Dense(self.hidden_channels, kernel_init=_KERNEL_INIT, name="pwconv1")(x)
+        x = nn.Dense(
+            self.hidden_channels, kernel_init=_KERNEL_INIT, dtype=self.dtype,
+            name="pwconv1",
+        )(x)
         x = PReLU(self.hidden_channels, name="act")(x)
-        x = nn.Dense(self.channels, kernel_init=_KERNEL_INIT, name="pwconv2")(x)
+        x = nn.Dense(
+            self.channels, kernel_init=_KERNEL_INIT, dtype=self.dtype,
+            name="pwconv2",
+        )(x)
         if self.use_residual_scale:
             residual = ChannelScale(self.channels, name="residual_scale")(
                 residual, train=train
@@ -115,16 +125,20 @@ class CondEncoder(nn.Module):
     conv_kernel_size: int = 7
     num_layers: int = 4
     use_residual_scale: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None, train: bool = False
     ) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Conv(
             self.channels,
             (3,),
             padding="SAME",
             kernel_init=_KERNEL_INIT,
+            dtype=self.dtype,
             name="in_proj",
         )(x)
         x = BiasNorm(self.channels, name="in_norm")(x, train=train)
@@ -134,6 +148,7 @@ class CondEncoder(nn.Module):
                 hidden_channels=int(self.channels * self.hidden_factor),
                 kernel_size=self.conv_kernel_size,
                 use_residual_scale=self.use_residual_scale,
+                dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, mask=mask, train=train)
         return x
@@ -155,6 +170,7 @@ class ConvNeXtDecoder(nn.Module):
     num_layers: int = 8
     use_residual_scale: bool = True
     use_t: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -165,7 +181,11 @@ class ConvNeXtDecoder(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> jnp.ndarray:
-        x = nn.Dense(self.channels, kernel_init=_KERNEL_INIT, name="in_proj")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Dense(
+            self.channels, kernel_init=_KERNEL_INIT, dtype=self.dtype, name="in_proj"
+        )(x)
         x = BiasNorm(self.channels, name="in_norm")(x, train=train)
 
         time_embed = None
@@ -173,17 +193,25 @@ class ConvNeXtDecoder(nn.Module):
             assert t is not None
             emb = sinusoidal_pos_emb(t, self.time_embed_channels)
             hid = int(self.time_embed_channels * self.hidden_factor)
-            emb = nn.Dense(hid, kernel_init=_KERNEL_INIT, name="time_mlp_0")(emb)
+            emb = nn.Dense(
+                hid, kernel_init=_KERNEL_INIT, dtype=self.dtype, name="time_mlp_0"
+            )(emb)
             emb = nn.silu(emb)
             time_embed = nn.Dense(
-                self.time_embed_channels, kernel_init=_KERNEL_INIT, name="time_mlp_2"
+                self.time_embed_channels, kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                name="time_mlp_2",
             )(emb)
 
         cond_hidden = int(self.cond_channels * self.hidden_factor)
-        cond = nn.Dense(cond_hidden, kernel_init=_KERNEL_INIT, name="cond_mlp_0")(cond)
+        if self.dtype is not None:
+            cond = cond.astype(self.dtype)
+        cond = nn.Dense(
+            cond_hidden, kernel_init=_KERNEL_INIT, dtype=self.dtype, name="cond_mlp_0"
+        )(cond)
         cond = PReLU(cond_hidden, name="cond_mlp_1")(cond)
         cond = nn.Dense(
-            self.cond_channels, kernel_init=_KERNEL_INIT, name="cond_mlp_2"
+            self.cond_channels, kernel_init=_KERNEL_INIT, dtype=self.dtype,
+            name="cond_mlp_2",
         )(cond)
 
         for i in range(self.num_layers):
@@ -194,11 +222,15 @@ class ConvNeXtDecoder(nn.Module):
                 use_cond=True,
                 use_time=self.use_t,
                 use_residual_scale=self.use_residual_scale,
+                dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, cond=cond, time_embed=time_embed, mask=mask, train=train)
 
-        x = nn.Dense(self.out_channels, kernel_init=_KERNEL_INIT, name="out_proj")(x)
-        return x
+        x = nn.Dense(
+            self.out_channels, kernel_init=_KERNEL_INIT, dtype=self.dtype,
+            name="out_proj",
+        )(x)
+        return x.astype(jnp.float32)
 
 
 class AudioConvNeXt(nn.Module):
@@ -218,6 +250,7 @@ class AudioConvNeXt(nn.Module):
     num_layers: int = 8
     use_residual_scale: bool = True
     use_t: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         assert self.cond_hop_length % self.hop_length == 0, (
@@ -235,6 +268,7 @@ class AudioConvNeXt(nn.Module):
             num_layers=self.num_layers,
             use_residual_scale=self.use_residual_scale,
             use_t=self.use_t,
+            dtype=self.dtype,
         )
 
     def upsample_cond(self, cond: jnp.ndarray, fft_frames: int) -> jnp.ndarray:

@@ -60,6 +60,7 @@ class BaseAudioGenerator(nn.Module):
     loss_scale_min: float = 1e-2
     loss_scale_max: float = 1e2
     branch_dropout: float = 0.05
+    compute_dtype: Optional[str] = None  # e.g. 'bfloat16'; params stay f32
 
     @property
     def num_branches(self) -> int:
@@ -72,6 +73,7 @@ class BaseAudioGenerator(nn.Module):
         assert len(self.num_layers) == self.num_branches
         assert self.branch_reduction in ("mean", "sum")
 
+        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         if self.use_cond_encoder:
             self.cond_encoder = CondEncoder(
                 cond_dim=self.cond_dim,
@@ -80,6 +82,7 @@ class BaseAudioGenerator(nn.Module):
                 conv_kernel_size=self.cond_enc_conv_kernel_size,
                 num_layers=self.cond_enc_num_layers,
                 use_residual_scale=self.use_residual_scale,
+                dtype=dtype,
             )
 
         self.estimators = [
@@ -96,6 +99,7 @@ class BaseAudioGenerator(nn.Module):
                 conv_kernel_size=self.conv_kernel_sizes[i],
                 num_layers=self.num_layers[i],
                 use_residual_scale=self.use_residual_scale,
+                dtype=dtype,
                 name=f"estimators_{i}",
             )
             for i in range(self.num_branches)

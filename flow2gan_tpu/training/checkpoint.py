@@ -66,6 +66,8 @@ def save_checkpoint(
         for k, v in train_params.items():
             assert k not in ckpt, k
             ckpt[k] = v
+    # NamedTuple states (e.g. ScaledAdamState) -> plain dicts for msgpack
+    ckpt = serialization.to_state_dict(ckpt)
     data = serialization.msgpack_serialize(ckpt)
     Path(filename).parent.mkdir(parents=True, exist_ok=True)
     tmp = str(filename) + ".tmp"

@@ -1,0 +1,56 @@
+"""Numeric sanitizers: inf/NaN detection for losses, grads, and params.
+
+JAX equivalent of /root/reference/flow2gan/hooks.py (module fwd/bwd hooks
+warning on non-finite sums): here a jit-compatible summary pytree of
+finite-ness flags, checked host-side each step when `--inf-check` is on or
+auto-enabled after instability (reference bin/pretrain.py:493-497).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def finite_flags(tree) -> Dict[str, jnp.ndarray]:
+    """Per-top-level-key all-finite flags plus a global one. Cheap enough to
+    fuse into the train step; returns small bool scalars."""
+    flags = {}
+    if isinstance(tree, dict):
+        for k, sub in tree.items():
+            leaves = jax.tree.leaves(sub)
+            if leaves:
+                flags[str(k)] = jnp.all(
+                    jnp.stack([jnp.isfinite(x).all() for x in leaves])
+                )
+    leaves = jax.tree.leaves(tree)
+    flags["__all__"] = jnp.all(jnp.stack([jnp.isfinite(x).all() for x in leaves]))
+    return flags
+
+
+def check_finite(flags: Dict, what: str) -> bool:
+    """Host-side check of `finite_flags` output; warns like the reference's
+    inf-check hooks. Returns True if everything is finite."""
+    ok = bool(flags["__all__"])
+    if not ok:
+        for k, v in flags.items():
+            if k != "__all__" and not bool(v):
+                logging.warning(f"The sum of {what}.{k} is not finite")
+    return ok
+
+
+def find_nonfinite_leaves(tree, limit: int = 10):
+    """Detailed host-side scan: names of non-finite leaves (debug aid)."""
+    import numpy as np
+
+    bad = []
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in flat:
+        if not np.isfinite(np.asarray(leaf)).all():
+            bad.append("/".join(str(getattr(k, "key", "?")) for k in path))
+            if len(bad) >= limit:
+                break
+    return bad

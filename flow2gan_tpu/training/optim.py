@@ -344,3 +344,95 @@ def make_eden(base_lr: float, lr_batches: float, lr_epochs: float,
             base_lr, batch, epoch, lr_batches, lr_epochs, warmup_batches, warmup_start
         )
     )
+
+
+# ------------------------------------------------------------- Eve (baseline)
+
+
+class EveState(NamedTuple):
+    step: jnp.ndarray
+    exp_avg: Any
+    exp_avg_sq: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class Eve:
+    """AdamW variant with target-rms-conditional weight decay — the
+    reference's baseline optimizer (reference optim.py:980-1119). Weight decay
+    is applied only while a non-scalar parameter's norm exceeds
+    target_rms * sqrt(numel)."""
+
+    lr: float = 1e-3
+    betas: tuple = (0.9, 0.98)
+    eps: float = 1e-8
+    weight_decay: float = 1e-3
+    target_rms: float = 0.1
+
+    def init(self, params) -> EveState:
+        z = lambda p: jnp.zeros_like(p, dtype=jnp.float32)
+        return EveState(
+            step=jnp.zeros((), jnp.int32),
+            exp_avg=jax.tree.map(z, params),
+            exp_avg_sq=jax.tree.map(z, params),
+        )
+
+    def update(self, grads, state: EveState, params, lr=None):
+        lr = self.lr if lr is None else lr
+        beta1, beta2 = self.betas
+        step = state.step + 1
+        fstep = step.astype(jnp.float32)
+        bc1 = 1.0 - beta1**fstep
+        bc2 = 1.0 - beta2**fstep
+
+        def leaf(g, p, m, v):
+            g = g.astype(jnp.float32)
+            p32 = p.astype(jnp.float32)
+            m = beta1 * m + (1.0 - beta1) * g
+            v = beta2 * v + (1.0 - beta2) * g * g
+            denom = jnp.sqrt(v) * (bc2**-0.5) + self.eps
+            step_size = lr / bc1
+            new_p = p32
+            if p.size > 1:
+                above = jnp.linalg.norm(p32) > (
+                    self.target_rms * (p.size**0.5)
+                )
+                new_p = new_p * (1.0 - self.weight_decay * above)
+            new_p = new_p - step_size * m / denom
+            return (new_p - p32).astype(p.dtype), m, v
+
+        results = jax.tree.map(leaf, grads, params, state.exp_avg, state.exp_avg_sq)
+        treedef = jax.tree.structure(params)
+        leaves = jax.tree.leaves(results, is_leaf=lambda x: isinstance(x, tuple))
+        upd, m, v = (jax.tree.unflatten(treedef, u) for u in zip(*leaves))
+        return upd, EveState(step=step, exp_avg=m, exp_avg_sq=v)
+
+
+def eve(**kwargs) -> Eve:
+    return Eve(**kwargs)
+
+
+# -------------------------------------------------- per-parameter lr scaling
+
+
+def make_lr_scale_tree(params, rules: Optional[dict] = None, default: float = 1.0):
+    """Build a per-leaf lr multiplier pytree from path-prefix rules — the
+    functional equivalent of the reference's `lr_scale` module attributes +
+    get_parameter_groups_with_lrs (reference utils.py:69-138). Rules compose
+    multiplicatively along the path, like nested module lr_scales.
+
+    Example: make_lr_scale_tree(params, {"cond_encoder": 0.5,
+    "estimators_0/blocks_0": 0.1}) scales every parameter under those
+    prefixes; freeze a subtree with 0.0.
+    """
+    rules = rules or {}
+
+    def leaf_scale(path, leaf):
+        parts = [str(getattr(k, "key", getattr(k, "idx", "?"))) for k in path]
+        scale = default
+        for i in range(1, len(parts) + 1):
+            prefix = "/".join(parts[:i])
+            if prefix in rules:
+                scale *= rules[prefix]
+        return scale
+
+    return jax.tree_util.tree_map_with_path(leaf_scale, params)

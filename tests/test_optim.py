@@ -139,3 +139,61 @@ def test_zero_grads_no_nan():
         updates, state = opt.update(g, state, params, lr=0.01)
         params = optax.apply_updates(params, updates)
     assert np.isfinite(np.asarray(params["w"])).all()
+
+
+def test_eve_matches_reference(reference_dir):
+    import_reference()
+    from flow2gan.optim import Eve as TorchEve
+
+    rng = np.random.RandomState(0)
+    p0 = {
+        "w": np.asarray(rng.randn(5, 4), np.float32),
+        "s": np.asarray(rng.randn(), np.float32).reshape(()),
+    }
+    tp = {k: torch.nn.Parameter(torch.from_numpy(np.array(v))) for k, v in p0.items()}
+    topt = TorchEve(tp.values(), lr=0.01)
+    grads = [
+        {k: np.asarray(rng.randn(*v.shape), np.float32).reshape(v.shape)
+         for k, v in p0.items()}
+        for _ in range(50)
+    ]
+    for g in grads:
+        for k, pp in tp.items():
+            pp.grad = torch.from_numpy(np.array(g[k]))
+        topt.step()
+        topt.zero_grad()
+
+    from flow2gan_tpu.training.optim import eve
+
+    opt = eve(lr=0.01)
+    params = {k: jnp.asarray(v) for k, v in p0.items()}
+    st = opt.init(params)
+    for g in grads:
+        upd, st = opt.update({k: jnp.asarray(v) for k, v in g.items()}, st, params)
+        params = optax.apply_updates(params, upd)
+    for k in params:
+        err = np.abs(np.asarray(params[k]) - tp[k].detach().numpy()).max()
+        assert err < 1e-5, (k, err)
+
+
+def test_make_lr_scale_tree():
+    from flow2gan_tpu.training.optim import make_lr_scale_tree
+
+    params = {"enc": {"a": jnp.ones(2), "sub": {"b": jnp.ones(2)}}, "dec": {"c": jnp.ones(2)}}
+    tree = make_lr_scale_tree(params, {"enc": 0.5, "enc/sub": 0.2, "dec/c": 0.0})
+    assert tree["enc"]["a"] == 0.5
+    assert tree["enc"]["sub"]["b"] == 0.5 * 0.2
+    assert tree["dec"]["c"] == 0.0
+
+
+def test_scaled_adam_respects_lr_scale():
+    from flow2gan_tpu.training.optim import make_lr_scale_tree
+
+    opt = scaled_adam()
+    params = {"a": jnp.ones((3, 3)), "b": jnp.ones((3, 3))}
+    state = opt.init(params)
+    g = {"a": jnp.ones((3, 3)), "b": jnp.ones((3, 3))}
+    ls = make_lr_scale_tree(params, {"b": 0.0})
+    upd, state = opt.update(g, state, params, lr=0.01, lr_scale=ls)
+    assert np.abs(np.asarray(upd["a"])).max() > 0
+    np.testing.assert_array_equal(np.asarray(upd["b"]), 0.0)
