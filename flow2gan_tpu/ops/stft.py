@@ -104,6 +104,49 @@ def frame_signal(
     return _frame_reshape(x, n_fft, hop_length)
 
 
+@functools.lru_cache(maxsize=32)
+def _rdft_matrices(n_fft: int):
+    """Forward rDFT as two matmul matrices (n_fft, F): X = x@C + i x@S.
+
+    On TPU, a (frames, n_fft) x (n_fft, F) matmul on the MXU beats the
+    generic XLA FFT for vocoder-sized transforms (n_fft 128..2048) and fuses
+    with the surrounding network matmuls ("GEMM-native DFT").
+    """
+    F = n_fft // 2 + 1
+    n = np.arange(n_fft)[:, None].astype(np.float64)
+    k = np.arange(F)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _irdft_matrices(n_fft: int):
+    """Inverse onesided rDFT as two matmuls (F, n_fft):
+    x = Re @ A + Im @ B, with the DC/Nyquist bins weighted once."""
+    F = n_fft // 2 + 1
+    k = np.arange(F)[:, None].astype(np.float64)
+    n = np.arange(n_fft)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * k * n / n_fft
+    c = np.full((F, 1), 2.0)
+    c[0, 0] = 1.0
+    if n_fft % 2 == 0:
+        c[-1, 0] = 1.0
+    A = (c * np.cos(ang) / n_fft).astype(np.float32)
+    B = (-c * np.sin(ang) / n_fft).astype(np.float32)
+    return A, B
+
+
+def _use_matmul_dft(method: str) -> bool:
+    if method == "matmul":
+        return True
+    if method == "fft":
+        return False
+    # auto: MXU matmul-DFT on TPU, XLA FFT elsewhere
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def stft(
     x: jnp.ndarray,
     n_fft: int,
@@ -111,17 +154,25 @@ def stft(
     window: Optional[jnp.ndarray] = None,
     center: bool = True,
     pad_mode: str = "reflect",
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Onesided STFT of (..., L) -> complex (..., n_frames, n_fft//2 + 1).
 
     Numerically equivalent to torch.stft(..., center=True, onesided=True,
-    return_complex=True) up to a (frames, freq) transpose.
+    return_complex=True) up to a (frames, freq) transpose. `method` selects
+    the transform backend: 'fft' (XLA FFT), 'matmul' (MXU rDFT matmul), or
+    'auto' (matmul on TPU).
     """
     if window is None:
         window = hann_window(n_fft, x.dtype)
     frames = frame_signal(x, n_fft, hop_length, center=center, pad_mode=pad_mode)
-    frames = frames * window
-    return jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    frames = (frames * window).astype(jnp.float32)
+    if _use_matmul_dft(method):
+        C, S = _rdft_matrices(n_fft)
+        re = jnp.dot(frames, jnp.asarray(C), precision=jax.lax.Precision.HIGHEST)
+        im = jnp.dot(frames, jnp.asarray(S), precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.complex(re, im)
+    return jnp.fft.rfft(frames, axis=-1)
 
 
 def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
@@ -174,19 +225,27 @@ def istft(
     hop_length: int,
     window: Optional[jnp.ndarray] = None,
     length: Optional[int] = None,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Inverse of `stft` (center=True), matching torch.istft semantics.
 
     Args:
       spec: complex (..., n_frames, n_fft//2 + 1).
       length: output length; default (n_frames - 1) * hop (torch default).
+      method: 'fft' | 'matmul' | 'auto' (matmul-iDFT on the MXU on TPU).
 
     Returns: real (..., length).
     """
     if window is None:
         window = hann_window(n_fft, jnp.float32)
     n_frames = spec.shape[-2]
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)
+    if _use_matmul_dft(method):
+        A, B = _irdft_matrices(n_fft)
+        frames = jnp.dot(
+            spec.real, jnp.asarray(A), precision=jax.lax.Precision.HIGHEST
+        ) + jnp.dot(spec.imag, jnp.asarray(B), precision=jax.lax.Precision.HIGHEST)
+    else:
+        frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)
     frames = frames * window
     y = _overlap_add(frames, hop_length)
     default_len = (n_frames - 1) * hop_length

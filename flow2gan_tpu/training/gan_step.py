@@ -93,8 +93,13 @@ def make_gan_steps(
     n_timesteps: int = 1,
     scales: GANLossScales = GANLossScales(),
     donate: bool = True,
+    remat_rollout: bool = False,
 ):
     """Returns (d_step, g_step), each (state, batch, rng) -> (state, metrics).
+
+    `remat_rollout=True` rematerializes the generator rollout in the G step
+    (jax.checkpoint) — trades recompute for memory on the unrolled 4-step
+    Euler graph (the reference's deep-autograd-graph problem, SURVEY.md §7).
 
     `batch`: {'audio': (B, L), 'audio_lens': (B,)}. The D/G alternation
     (gen_start_batch_idx warmup then strict toggle) is the caller's loop.
@@ -129,10 +134,16 @@ def make_gan_steps(
 
     def g_loss_fn(params_g, params_d, batch, rng):
         cond = mel_fn(batch["audio"])
-        fake = _rollout(
-            generator, params_g, cond, batch["audio_lens"], n_timesteps, rng,
-            train=True, length=batch["audio"].shape[-1],
-        )
+
+        def roll(params_g, cond):
+            return _rollout(
+                generator, params_g, cond, batch["audio_lens"], n_timesteps, rng,
+                train=True, length=batch["audio"].shape[-1],
+            )
+
+        if remat_rollout:
+            roll = jax.checkpoint(roll)
+        fake = roll(params_g, cond)
         (mp, mr) = discriminators.apply(
             {"params": params_d}, batch["audio"], fake
         )

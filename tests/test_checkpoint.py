@@ -141,3 +141,53 @@ def test_topk_retention(tmp_path):
     found = find_checkpoints(tmp_path)
     assert len(found) == 2
     assert "400" in found[0] and "300" in found[1]
+
+
+def test_optimizer_state_roundtrip(tmp_path):
+    """Regression: NamedTuple optimizer states must survive msgpack
+    (save_checkpoint runs to_state_dict first)."""
+    import jax.numpy as jnp
+    import optax
+
+    from flow2gan_tpu.training.optim import scaled_adam
+
+    opt = scaled_adam(clipping_scale=2.0)
+    params = {"w": jnp.ones((3, 2)), "s": jnp.asarray(0.5)}
+    state = opt.init(params)
+    for i in range(3):
+        upd, state = opt.update(
+            {"w": jnp.full((3, 2), 0.1), "s": jnp.asarray(0.1)},
+            state,
+            params,
+            lr=0.01,
+        )
+        params = optax.apply_updates(params, upd)
+
+    save_checkpoint(
+        tmp_path / "c.ckpt",
+        params=params,
+        optimizer_state=state,
+        train_params={"batch_idx_train": 3},
+    )
+    loaded = load_checkpoint(tmp_path / "c.ckpt")
+    from flow2gan_tpu.training.checkpoint import restore_params
+
+    state2 = restore_params(state, loaded["optimizer"])
+    # restore gives numpy leaves; the jitted train step converts implicitly,
+    # here we do it explicitly to call update() outside jit
+    import jax
+
+    state2 = jax.tree.map(jnp.asarray, state2)
+    assert type(state2).__name__ == "ScaledAdamState"
+    assert int(state2.step) == 3
+    np.testing.assert_allclose(
+        np.asarray(state2.delta["w"]), np.asarray(state.delta["w"])
+    )
+    # resumed optimizer continues identically
+    upd_a, _ = scaled_adam(clipping_scale=2.0).update(
+        {"w": jnp.full((3, 2), 0.1), "s": jnp.asarray(0.1)}, state, params, lr=0.01
+    )
+    upd_b, _ = scaled_adam(clipping_scale=2.0).update(
+        {"w": jnp.full((3, 2), 0.1), "s": jnp.asarray(0.1)}, state2, params, lr=0.01
+    )
+    np.testing.assert_allclose(np.asarray(upd_a["w"]), np.asarray(upd_b["w"]))

@@ -121,3 +121,18 @@ def test_stft_lens():
     np.testing.assert_array_equal(
         np.asarray(stft_ops.stft_lens(lens, 256)), [94, 47, 24]
     )
+
+
+@pytest.mark.parametrize("n_fft,hop", [(512, 256), (128, 64), (1024, 256)])
+def test_matmul_dft_matches_fft(n_fft, hop):
+    """The MXU matmul-DFT backend must match the FFT backend bit-closely."""
+    x = _rand(2, 12000, seed=9)
+    a = np.asarray(stft_ops.stft(jnp.asarray(x), n_fft, hop, method="fft"))
+    b = np.asarray(stft_ops.stft(jnp.asarray(x), n_fft, hop, method="matmul"))
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(b, a, atol=3e-5 * scale)
+
+    spec = stft_ops.stft(jnp.asarray(x), n_fft, hop)
+    ya = np.asarray(stft_ops.istft(spec, n_fft, hop, method="fft"))
+    yb = np.asarray(stft_ops.istft(spec, n_fft, hop, method="matmul"))
+    np.testing.assert_allclose(yb, ya, atol=3e-5 * (np.abs(ya).max() + 1e-9))
