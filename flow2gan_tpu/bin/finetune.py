@@ -95,6 +95,8 @@ def get_parser():
     parser.add_argument("--save-every-n", type=int, default=4000)
     parser.add_argument("--keep-last-k", type=int, default=30)
     parser.add_argument("--tensorboard", type=str2bool, default=True)
+    parser.add_argument("--print-diagnostics", type=str2bool, default=False,
+                        help="Collect generator activation stats for 5 batches, print, exit")
     return parser
 
 
@@ -261,6 +263,12 @@ def run(args):
     params.setdefault("train_disc", True)
     step_rng = jax.random.PRNGKey(params.seed + 1)
 
+    diag = None
+    if params.print_diagnostics:
+        from flow2gan_tpu.training.diagnostics import DiagnosticsCollector
+
+        diag = DiagnosticsCollector()
+
     def save_epoch(epoch):
         if jax.process_index() != 0:
             return
@@ -332,6 +340,23 @@ def run(args):
                     info[k] = float(metrics[k]) * n
                 tot_g = tot_g + info
                 params.train_disc = True
+
+            if diag is not None:
+                _, inter = generator.apply(
+                    {"params": state.params_g},
+                    mel_fn(device_batch["audio"]),
+                    n_timesteps=params.n_timesteps,
+                    method="infer",
+                    rngs={"noise": step_rng},
+                    capture_intermediates=True,
+                    mutable=["intermediates"],
+                )
+                diag.collect_intermediates(inter["intermediates"])
+                diag.collect_params(state.params_g)
+                if batch_idx == 5:
+                    diag.print_diagnostics()
+                    logging.info("Diagnostics done, exiting")
+                    return
 
             if not np.isfinite(loss_val):
                 save_epoch(f"bad-{epoch}")

@@ -251,6 +251,7 @@ class AudioConvNeXt(nn.Module):
     use_residual_scale: bool = True
     use_t: bool = True
     dtype: Optional[jnp.dtype] = None
+    use_pallas_istft: bool = False  # fused VMEM iSTFT (128-aligned hops only)
 
     def setup(self):
         assert self.cond_hop_length % self.hop_length == 0, (
@@ -311,5 +312,12 @@ class AudioConvNeXt(nn.Module):
             x = x * mask
 
         out_spec = real_to_spec(x)
+        if self.use_pallas_istft:
+            from flow2gan_tpu.ops.pallas_istft import istft_pallas, supported
+
+            if supported(self.n_fft, self.hop_length):
+                return istft_pallas(
+                    out_spec, self.n_fft, self.hop_length, length=length
+                )
         audio_out = istft(out_spec, self.n_fft, self.hop_length, length=length)
         return audio_out

@@ -61,6 +61,7 @@ class BaseAudioGenerator(nn.Module):
     loss_scale_max: float = 1e2
     branch_dropout: float = 0.05
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16'; params stay f32
+    use_pallas_istft: bool = False  # fused iSTFT kernel where hop is 128-aligned
 
     @property
     def num_branches(self) -> int:
@@ -100,6 +101,7 @@ class BaseAudioGenerator(nn.Module):
                 num_layers=self.num_layers[i],
                 use_residual_scale=self.use_residual_scale,
                 dtype=dtype,
+                use_pallas_istft=self.use_pallas_istft,
                 name=f"estimators_{i}",
             )
             for i in range(self.num_branches)

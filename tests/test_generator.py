@@ -199,3 +199,45 @@ def test_token_generator():
         variables, tokens, n_timesteps=2, method="infer", rngs={"noise": rng}
     )
     assert wav.shape == (B, frames * 64)
+
+
+def test_44k_config_builds_and_infers_tiny_frames():
+    """mel_44k_128band_512x_base: full-size params, minimal frames."""
+    from flow2gan_tpu.models import build_generator, get_generator_config
+
+    cfg = get_generator_config("mel_44k_128band_512x_base")
+    model = build_generator(cfg)
+    rng = jax.random.PRNGKey(0)
+    cond = jax.random.normal(rng, (1, cfg.n_mels, 4))
+    variables = model.init(
+        {"params": rng, "noise": rng}, cond, n_timesteps=1, method="infer"
+    )
+    n_params = sum(
+        int(np.prod(np.asarray(x).shape))
+        for x in jax.tree_util.tree_leaves(variables)
+    )
+    assert 70e6 < n_params < 90e6  # same trunk as 24k model (~79M)
+    wav = model.apply(
+        variables, cond, n_timesteps=1, method="infer",
+        rngs={"noise": rng},
+    )
+    assert wav.shape == (1, 4 * 512)  # 512x upsampling
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_pallas_istft_model_flag_matches_default():
+    """use_pallas_istft must not change results (CPU: interpret fallback is
+    skipped for unsupported hops, XLA path used — outputs identical)."""
+    from flow2gan_tpu.models import build_generator, get_generator_config
+
+    cfg = get_generator_config("mel_24k_tiny")
+    m1 = build_generator(cfg)
+    cfg2 = get_generator_config("mel_24k_tiny")
+    cfg2["use_pallas_istft"] = True
+    m2 = build_generator(cfg2)
+    rng = jax.random.PRNGKey(0)
+    cond = jax.random.normal(rng, (1, cfg.n_mels, 8))
+    v = m1.init({"params": rng, "noise": rng}, cond, n_timesteps=1, method="infer")
+    a = m1.apply(v, cond, n_timesteps=1, method="infer", rngs={"noise": rng})
+    b = m2.apply(v, cond, n_timesteps=1, method="infer", rngs={"noise": rng})
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
