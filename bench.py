@@ -21,7 +21,7 @@ import jax.numpy as jnp
 BASELINE_XRT_GPU_1STEP = 851.67  # reference paper speed table (BASELINE.md)
 
 
-def measure(compute_dtype, batch=16, seconds=1.0, n_iters=50):
+def measure(compute_dtype, batch=16, seconds=1.0, n_iters=50, n_timesteps=1):
     from flow2gan_tpu.models import build_generator, get_generator_config
 
     cfg = get_generator_config("mel_24k_base")
@@ -40,7 +40,7 @@ def measure(compute_dtype, batch=16, seconds=1.0, n_iters=50):
         return model.apply(
             variables,
             cond,
-            n_timesteps=1,
+            n_timesteps=n_timesteps,
             clamp_pred=True,
             method="infer",
             rngs={"noise": key},
@@ -68,12 +68,20 @@ def main():
         candidates = [None, "bfloat16"]
     results = {(d or "float32"): measure(d) for d in candidates}
     dtype, xrt = max(results.items(), key=lambda kv: kv[1])
+    best_d = None if dtype == "float32" else dtype
+    multi = {
+        f"{n}step": round(measure(best_d, n_timesteps=n), 1) for n in (2, 4)
+    }
     result = {
         "metric": "xrt_24k_1step_b16",
         "value": round(xrt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / BASELINE_XRT_GPU_1STEP, 3),
-        "config": f"compute_dtype={dtype}, all={ {k: round(v, 1) for k, v in results.items()} }",
+        "config": (
+            f"compute_dtype={dtype}, "
+            f"1step={ {k: round(v, 1) for k, v in results.items()} }, "
+            f"multi={multi} (ref GPU: 449.3 2step / 228.5 4step)"
+        ),
     }
     print(json.dumps(result))
     return result

@@ -177,6 +177,8 @@ def run(args):
     np.random.seed(params.seed)
 
     cfg = get_generator_config(params.model_name)
+    if params.use_bf16:
+        cfg["compute_dtype"] = "bfloat16"
     params.sampling_rate = cfg.sampling_rate
     model = build_generator(cfg)
     mel_fn = LogMelSpectrogram(
@@ -412,6 +414,17 @@ def run(args):
                     params, eval_step, state, valid_dls, mesh, step_rng
                 )
                 logging.info(f"Epoch {epoch}, validation: {valid_info}")
+                # device memory observability (reference logs
+                # cuda.max_memory_allocated each validation, pretrain.py:565)
+                try:
+                    stats = jax.local_devices()[0].memory_stats() or {}
+                    logging.info(
+                        "Device memory: "
+                        f"{stats.get('bytes_in_use', 0) / 1e9:.2f} GB in use, "
+                        f"peak {stats.get('peak_bytes_in_use', 0) / 1e9:.2f} GB"
+                    )
+                except Exception:
+                    pass
                 if tb_writer is not None:
                     valid_info.write_summary(
                         tb_writer, "train/valid_", params.batch_idx_train

@@ -156,7 +156,7 @@ class RecordingDataset:
     def __getitem__(self, index: int, epoch: int = 0):
         rec = self.recordings[index]
         rng = np.random.RandomState(
-            (self.seed + 31 * epoch) * 1_000_003 + index
+            ((self.seed + 31 * epoch) * 1_000_003 + index) % (2**32)
         )
 
         fname = rec.path
@@ -342,17 +342,34 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
+            # keep a bounded window of in-flight decodes (an eager submit of
+            # the whole epoch would buffer ~GBs of audio on the host)
+            window = self.num_workers + self.prefetch
             with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                futures = [ex.submit(load_batch, b) for b in batches]
-                for fut in futures:
-                    if stop.is_set():
-                        fut.cancel()
-                        continue
-                    try:
-                        out_q.put(fut.result())
-                    except Exception as e:  # surface loader errors
-                        out_q.put(e)
-                out_q.put(None)
+                from collections import deque
+
+                inflight = deque()
+                it = iter(batches)
+                try:
+                    while True:
+                        while len(inflight) < window:
+                            try:
+                                inflight.append(ex.submit(load_batch, next(it)))
+                            except StopIteration:
+                                break
+                        if not inflight:
+                            break
+                        if stop.is_set():
+                            for fut in inflight:
+                                fut.cancel()
+                            break
+                        fut = inflight.popleft()
+                        try:
+                            out_q.put(fut.result())
+                        except Exception as e:  # surface loader errors
+                            out_q.put(e)
+                finally:
+                    out_q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -238,6 +238,12 @@ def istft(
     """
     if window is None:
         window = hann_window(n_fft, jnp.float32)
+    else:
+        raise NotImplementedError(
+            "istft only supports the periodic Hann window: the OLA "
+            "normalization envelope is precomputed for it (torch.istft "
+            "recomputes it per window; extend _istft_envelope if needed)"
+        )
     n_frames = spec.shape[-2]
     if _use_matmul_dft(method):
         A, B = _irdft_matrices(n_fft)

@@ -22,15 +22,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def init_distributed(**kwargs) -> None:
-    """Multi-host init (reference setup_dist, dist.py:25-43). No-op when
-    single-process."""
-    if jax.process_count() > 1:
-        return
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process / already initialized
-        pass
+    """Multi-host init (reference setup_dist, dist.py:25-43).
+
+    MUST run before any other jax call initializes the backends (so no
+    jax.process_count() probing here). Single-process launches (no
+    coordinator configured) are a silent no-op; a genuine multi-host init
+    failure propagates."""
+    import os
+
+    configured = kwargs.get("coordinator_address") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ) or os.environ.get("COORDINATOR_ADDRESS")
+    if not configured:
+        return  # single-process
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(

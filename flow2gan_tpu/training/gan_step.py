@@ -209,8 +209,36 @@ def make_gan_steps(
         )
 
     def eval_step_impl(params_g, params_d, batch, rng):
-        _, metrics = g_loss_fn(params_g, params_d, batch, rng)
-        return metrics
+        # eval-mode rollout (train=False): no mel-noise aug / branch dropout,
+        # matching the reference's model.eval() validation
+        cond = mel_fn(batch["audio"])
+        fake = _rollout(
+            generator, params_g, cond, batch["audio_lens"], n_timesteps, rng,
+            train=False, length=batch["audio"].shape[-1],
+        )
+        (mp, mr) = discriminators.apply({"params": params_d}, batch["audio"], fake)
+        _, score_fake_mp, fmap_real_mp, fmap_fake_mp = mp
+        _, score_fake_mr, fmap_real_mr, fmap_fake_mr = mr
+        gen_loss_mp = generator_loss(score_fake_mp)
+        gen_loss_mr = generator_loss(score_fake_mr)
+        fm_mp = feature_matching_loss(fmap_real_mp, fmap_fake_mp)
+        fm_mr = feature_matching_loss(fmap_real_mr, fmap_fake_mr)
+        mel_loss = mel_recon_loss(batch["audio"], fake, mel_recon_fns)
+        loss = (
+            scales.gen_mp * gen_loss_mp
+            + scales.gen_mr * gen_loss_mr
+            + scales.fmap_mp * fm_mp
+            + scales.fmap_mr * fm_mr
+            + scales.mel_recon * mel_loss
+        )
+        return {
+            "loss_g": loss,
+            "gen_loss_mp": gen_loss_mp,
+            "gen_loss_mr": gen_loss_mr,
+            "feat_map_loss_mp": fm_mp,
+            "feat_map_loss_mr": fm_mr,
+            "mel_recon_loss": mel_loss,
+        }
 
     eval_step = jax.jit(eval_step_impl)
 

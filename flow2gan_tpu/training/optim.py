@@ -140,8 +140,13 @@ class ScaledAdam:
         )
 
         ans = jnp.minimum(1.0, threshold / (tot_norm + 1.0e-20))
-        ans = jnp.where(jnp.isfinite(threshold), ans, 1.0)
-        ans = jnp.where(jnp.isnan(ans), 0.0, ans)
+        # inf threshold = not yet calibrated -> no clipping;
+        # NaN threshold = too many non-finite grads in the history window ->
+        # zero all grads (the reference raises "Too many grads were not
+        # finite" here, optim.py:574-575; inside jit we zero instead and the
+        # trainer's clip_scale==0 / non-finite-loss watchdogs surface it)
+        ans = jnp.where(jnp.isposinf(threshold), 1.0, ans)
+        ans = jnp.where(jnp.isnan(threshold) | jnp.isnan(ans), 0.0, ans)
         ans = jnp.where(step == 0, 1.0, ans)
 
         num_clipped = jnp.where(recalibrated, 0, state.num_clipped)

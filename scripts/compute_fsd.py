@@ -95,16 +95,23 @@ def main():
     gen_files = load_files(args.gen_dir, args.file_list)
     logging.info(f"{len(ref_files)} ref / {len(gen_files)} gen files")
 
+    import hashlib
+
+    ref_key = hashlib.sha256(
+        "\n".join(str(f) for f in ref_files).encode()
+    ).hexdigest()[:16]
     cache = {}
     if args.cache and args.cache.exists():
-        cache = dict(np.load(args.cache))
-    if "ref" in cache:
+        cache = dict(np.load(args.cache, allow_pickle=False))
+    if "ref" in cache and str(cache.get("ref_key")) == ref_key:
         ref_emb = cache["ref"]
     else:
+        if "ref" in cache:
+            logging.warning("embedding cache is for a different ref set; recomputing")
         ref_emb = embed_files(ref_files, model, fe)
     gen_emb = embed_files(gen_files, model, fe)
     if args.cache:
-        np.savez(args.cache, ref=ref_emb)
+        np.savez(args.cache, ref=ref_emb, ref_key=np.asarray(ref_key))
 
     mu_r, sig_r = ref_emb.mean(0), np.cov(ref_emb, rowvar=False)
     mu_g, sig_g = gen_emb.mean(0), np.cov(gen_emb, rowvar=False)

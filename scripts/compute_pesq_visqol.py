@@ -90,6 +90,9 @@ def compute_one(pair):
         out["pesq"] = float(pesq_fn(16000, ref16, gen16, "wb"))
     except ImportError:
         out["pesq"] = None
+    except Exception as e:  # NoUtterancesError etc. on silent/short clips
+        logging.warning(f"pesq failed on {gen_path}: {e}")
+        out["pesq"] = None
 
     if with_visqol and shutil.which("visqol"):
         # pad < 1 s clips (reference compute_pesq_visqol.py:133-147)

@@ -123,3 +123,13 @@ def test_eval_bucket_padding(wav_dir):
     batch = next(iter(loader))
     assert batch["audio"].shape[1] % 4096 == 0  # bucketed to bound recompiles
     assert batch["audio_lens"].max() <= batch["audio"].shape[1]
+
+
+def test_high_epoch_seed_no_overflow(wav_dir):
+    """Regression: (seed + 31*epoch)*1e6 + idx exceeded RandomState's 2**32
+    limit at epoch >= 138 of the default recipe."""
+    recs = scan_dir_to_recordings(wav_dir)
+    ds = RecordingDataset(recs, sampling_rate=24000, train=True, duration=0.5,
+                          seed=42)
+    audio, silence, name = ds.__getitem__(0, epoch=200)
+    assert audio.shape == (12000,)
