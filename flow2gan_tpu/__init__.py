@@ -21,4 +21,8 @@ def __getattr__(name):
         from flow2gan_tpu.api import get_model
 
         return get_model
+    if name == "VocoderModel":
+        from flow2gan_tpu.api import VocoderModel
+
+        return VocoderModel
     raise AttributeError(f"module 'flow2gan_tpu' has no attribute '{name}'")
