@@ -221,3 +221,28 @@ def test_loss_parity(pair):
         )
     )
     assert abs(jloss - tloss) / (abs(tloss) + 1e-9) < 1e-3, (jloss, tloss)
+
+
+def test_gan_checkpoint_unwrap_and_convert(pair, tmp_path):
+    """Loading a torch GAN checkpoint (generator.* + discriminator.* keys)
+    through strip_prefixes(unwrap_generator=True) + converter must equal the
+    direct generator conversion — the bin/infer --load-gan path."""
+    import torch
+
+    tmodel, jmodel, variables, cfg = pair
+    sd_gen = {f"generator.{k}": v for k, v in tmodel.state_dict().items()}
+    # fake discriminator/mel-recon entries that must be ignored
+    sd_gen["discriminator.0.discriminators.0.convs.0.weight"] = torch.zeros(32, 1, 5, 1)
+    sd_gen["mel_recon_modules.0.mel.spectrogram.window"] = torch.zeros(32)
+
+    stripped = strip_prefixes(
+        {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd_gen.items()},
+        unwrap_generator=True,
+    )
+    rng_template = jax.tree.map(lambda x: x, variables["params"])
+    params, missing, unexpected = convert_torch_state_dict(
+        stripped, rng_template, strict=True
+    )
+    assert not missing
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(variables["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
