@@ -186,7 +186,11 @@ class ScaledAdam:
         do_size_update = is_rms_step & (step > 0)
 
         def leaf(g, p, eas, delta, rms, sg, seas, ls):
-            g = g.astype(jnp.float32) * clip
+            # clip == 0 must ZERO the grads (reference p.grad.zero_(),
+            # optim.py:615-617): plain g * 0 would keep NaNs (NaN * 0 = NaN)
+            g = jnp.where(
+                clip > 0.0, g.astype(jnp.float32) * clip, jnp.zeros_like(g, jnp.float32)
+            )
             p32 = p.astype(jnp.float32)
             is_scalar = p.size == 1
 

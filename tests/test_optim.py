@@ -197,3 +197,29 @@ def test_scaled_adam_respects_lr_scale():
     upd, state = opt.update(g, state, params, lr=0.01, lr_scale=ls)
     assert np.abs(np.asarray(upd["a"])).max() > 0
     np.testing.assert_array_equal(np.asarray(upd["b"]), 0.0)
+
+
+def test_poisoned_batch_does_not_corrupt_params():
+    """Regression: NaN grads with a collapsed clip (ans==0) must leave params
+    untouched — g * 0 keeps NaN, so the zeroing must be a where()."""
+    opt = scaled_adam(clipping_scale=2.0)
+    params = {"w": jnp.ones((4, 4))}
+    state = opt.init(params)
+    # calibrate the clipping threshold with clean steps
+    for i in range(12):
+        upd, state = opt.update({"w": jnp.ones((4, 4))}, state, params, lr=0.01)
+        params = optax.apply_updates(params, upd)
+    good = jax.tree.map(np.asarray, params)
+    # poisoned batch
+    upd, state = opt.update({"w": jnp.full((4, 4), jnp.nan)}, state, params, lr=0.01)
+    params = optax.apply_updates(params, upd)
+    assert float(state.clip_scale) == 0.0
+    assert np.isfinite(np.asarray(params["w"])).all()
+    # optimizer state must also stay finite (momentum/eas fed zeroed grads)
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(state.exp_avg_sq)
+    )
+    # a following clean step still works
+    upd, state = opt.update({"w": jnp.ones((4, 4))}, state, params, lr=0.01)
+    params = optax.apply_updates(params, upd)
+    assert np.isfinite(np.asarray(params["w"])).all()
