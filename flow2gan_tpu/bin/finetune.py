@@ -39,6 +39,7 @@ from flow2gan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from flow2gan_tpu.training import checkpoint as ckpt
 from flow2gan_tpu.training.env import get_env_info
 from flow2gan_tpu.training.err import raise_nonfinite_loss_error
+from flow2gan_tpu.training.hooks import NonfiniteLossGuard
 from flow2gan_tpu.training.gan_step import (
     GANLossScales,
     GANTrainState,
@@ -262,6 +263,7 @@ def run(args):
 
     params.setdefault("train_disc", True)
     step_rng = jax.random.PRNGKey(params.seed + 1)
+    guard = NonfiniteLossGuard()
 
     diag = None
     if params.print_diagnostics:
@@ -358,9 +360,14 @@ def run(args):
                     logging.info("Diagnostics done, exiting")
                     return
 
-            if not np.isfinite(loss_val):
-                save_epoch(f"bad-{epoch}")
-                raise_nonfinite_loss_error(params.batch_idx_train)
+            guard.check(
+                loss_val,
+                float(
+                    (state.opt_d if "loss_d" in metrics else state.opt_g).clip_scale
+                ),
+                params.batch_idx_train,
+                lambda suffix: save_epoch(f"bad{suffix}-{epoch}"),
+            )
 
             if (
                 jax.process_index() == 0

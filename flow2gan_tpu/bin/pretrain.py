@@ -37,7 +37,7 @@ from flow2gan_tpu.training import checkpoint as ckpt
 from flow2gan_tpu.training.diagnostics import DiagnosticsCollector
 from flow2gan_tpu.training.env import get_env_info
 from flow2gan_tpu.training.err import raise_nonfinite_loss_error
-from flow2gan_tpu.training.hooks import find_nonfinite_leaves
+from flow2gan_tpu.training.hooks import NonfiniteLossGuard, find_nonfinite_leaves
 from flow2gan_tpu.training.optim import eden2_lr, scaled_adam
 from flow2gan_tpu.training.train_step import (
     TrainState,
@@ -298,6 +298,7 @@ def run(args):
         )
 
     step_rng = jax.random.PRNGKey(params.seed + 1)
+    guard = NonfiniteLossGuard()
 
     for epoch in range(params.start_epoch, params.num_epochs + 1):
         for dl in train_dls:
@@ -352,43 +353,13 @@ def run(args):
             loss_info["loss"] = loss_val * n_samples
             tot_losses[dl_idx] = tot_losses[dl_idx] + loss_info
 
-            # clip-collapse watchdog (the TPU analogue of the reference's
-            # grad-scale watchdog, bin/pretrain.py:489-515): clip_scale == 0
-            # means the optimizer zeroed the gradients (non-finite norms)
-            if float(metrics["clip_scale"]) == 0.0:
-                logging.warning(
-                    f"Gradient clipping scale collapsed to 0 at batch "
-                    f"{params.batch_idx_train} — non-finite gradient norms"
-                )
-                if not getattr(params, "_saved_bad_model", False):
-                    save_bad_model(suffix="-first-warning")
-                    params._saved_bad_model = True
-                    bad = find_nonfinite_leaves(state.params)
-                    if bad:
-                        logging.warning(f"Non-finite params at: {bad}")
-
-            if not np.isfinite(loss_val):
-                # a single bad batch is survivable: ScaledAdam zeroed the
-                # grads (clip_scale==0) so params are untouched — warn and
-                # continue like the reference's fp32 path; abort only on
-                # persistent instability (the analogue of grad-scale < 1e-5,
-                # reference bin/pretrain.py:489-515)
-                params.nonfinite_streak = params.get("nonfinite_streak", 0) + 1
-                logging.warning(
-                    f"Non-finite loss at batch {params.batch_idx_train} "
-                    f"(streak {params.nonfinite_streak})"
-                )
-                if params.nonfinite_streak == 1:
-                    save_bad_model(suffix="-first-nonfinite")
-                if params.inf_check:
-                    bad = find_nonfinite_leaves(state.params)
-                    if bad:
-                        logging.warning(f"Non-finite params at: {bad}")
-                if params.nonfinite_streak >= 25:
-                    save_bad_model()
-                    raise_nonfinite_loss_error(params.batch_idx_train)
-            else:
-                params.nonfinite_streak = 0
+            guard.check(
+                loss_val,
+                float(metrics["clip_scale"]),
+                params.batch_idx_train,
+                save_bad_model,
+                params_tree=state.params if params.inf_check else None,
+            )
 
             if (
                 jax.process_index() == 0

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from flow2gan_tpu.ops.stft import _irdft_matrices, _istft_envelope
+from flow2gan_tpu.ops.stft import _irdft_matrices, _istft_envelope, hann_window_np
 
 
 def supported(n_fft: int, hop_length: int) -> bool:
@@ -88,24 +88,25 @@ def istft_pallas(
         )
     b, t_f, f = spec.shape
     assert f == n_fft // 2 + 1, (f, n_fft)
+    b_pad = (-b) % 8
+    if b_pad:
+        spec = jnp.pad(spec, ((0, b_pad), (0, 0), (0, 0)))
+    bp = b + b_pad
     k = n_fft // hop_length
     t_out = t_f + k - 1
     default_len = (t_f - 1) * hop_length
     out_len = default_len if length is None else min(length, default_len)
 
-    # numpy at trace time (jnp would leak tracers under jit)
-    window = (
-        0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)
-    ).astype(np.float32)
+    window = hann_window_np(n_fft)
     A, B = _irdft_matrices(n_fft)
     aw = jnp.asarray(A * window[None, :])
     bw = jnp.asarray(B * window[None, :])
 
-    r = 8 if b % 8 == 0 else b
+    r = 8
     kernel = functools.partial(_istft_kernel, hop=hop_length, n_fft=n_fft)
     blocks = pl.pallas_call(
         kernel,
-        grid=(b // r,),
+        grid=(bp // r,),
         in_specs=[
             pl.BlockSpec((r, t_f, f), lambda i: (i, 0, 0)),
             pl.BlockSpec((r, t_f, f), lambda i: (i, 0, 0)),
@@ -113,12 +114,12 @@ def istft_pallas(
             pl.BlockSpec((f, n_fft), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((r, t_out, hop_length), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t_out, hop_length), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bp, t_out, hop_length), jnp.float32),
         interpret=interpret,
     )(spec.real, spec.imag, aw, bw)
 
     start = n_fft // 2
-    flat = blocks.reshape(b, t_out * hop_length)
+    flat = blocks[:b].reshape(b, t_out * hop_length)
     y = jax.lax.slice_in_dim(flat, start, start + out_len, axis=1)
     inv_env = jnp.asarray(1.0 / _istft_envelope(t_f, n_fft, hop_length)[:out_len])
     y = y * inv_env[None, :]

@@ -15,7 +15,6 @@ reshape happen outside the kernel (free in XLA).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flow2gan_tpu.ops.stft import _rdft_matrices, num_frames
+from flow2gan_tpu.ops.stft import _rdft_matrices, hann_window_np, num_frames
 
 
 def supported(n_fft: int, hop_length: int) -> bool:
@@ -81,6 +80,12 @@ def stft_pallas(
             f"hop={hop_length}); use ops.stft.stft"
         )
     b, L = x.shape
+    # pad the batch to a multiple of 8: keeps the per-block row count at 8
+    # (a large ragged batch as one block would blow VMEM / unroll budget)
+    b_pad = (-b) % 8
+    if b_pad:
+        x = jnp.pad(x, ((0, b_pad), (0, 0)))
+    bp = b + b_pad
     t_f = num_frames(L, hop_length)
     pad = n_fft // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad)), mode=pad_mode)
@@ -92,24 +97,22 @@ def stft_pallas(
     else:
         xp = xp[:, :needed]
     n_blocks = needed // hop_length
-    blocks = xp.reshape(b, n_blocks, hop_length)
+    blocks = xp.reshape(bp, n_blocks, hop_length)
 
-    # window folded into the DFT matrices (numpy at trace time)
-    window = (
-        0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)
-    ).astype(np.float32)
+    # window folded into the DFT matrices
+    window = hann_window_np(n_fft)
     C, S = _rdft_matrices(n_fft)
     cw = jnp.asarray(window[:, None] * C)
     sw = jnp.asarray(window[:, None] * S)
     f = n_fft // 2 + 1
 
-    r = 8 if b % 8 == 0 else b
+    r = 8
     kernel = functools.partial(
         _stft_kernel, hop=hop_length, n_fft=n_fft, t_f=t_f
     )
     re, im = pl.pallas_call(
         kernel,
-        grid=(b // r,),
+        grid=(bp // r,),
         in_specs=[
             pl.BlockSpec((r, n_blocks, hop_length), lambda i: (i, 0, 0)),
             pl.BlockSpec((n_fft, f), lambda i: (0, 0)),
@@ -120,9 +123,9 @@ def stft_pallas(
             pl.BlockSpec((r, t_f, f), lambda i: (i, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, t_f, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, t_f, f), jnp.float32),
+            jax.ShapeDtypeStruct((bp, t_f, f), jnp.float32),
+            jax.ShapeDtypeStruct((bp, t_f, f), jnp.float32),
         ),
         interpret=interpret,
     )(blocks, cw, sw)
-    return jax.lax.complex(re, im)
+    return jax.lax.complex(re[:b], im[:b])

@@ -26,11 +26,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def hann_window_np(win_length: int) -> np.ndarray:
+    """Periodic Hann window as numpy (trace-time safe), the single source of
+    truth for every window in this framework."""
+    n = np.arange(win_length)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+
+
 def hann_window(win_length: int, dtype=jnp.float32) -> jnp.ndarray:
     """Periodic Hann window, identical to torch.hann_window(win_length)."""
-    n = jnp.arange(win_length, dtype=jnp.float32)
-    w = 0.5 - 0.5 * jnp.cos(2.0 * np.pi * n / win_length)
-    return w.astype(dtype)
+    return jnp.asarray(hann_window_np(win_length), dtype=dtype)
 
 
 def num_frames(length: int, hop_length: int) -> int:
@@ -205,8 +210,7 @@ def _istft_envelope(n_frames: int, n_fft: int, hop: int) -> np.ndarray:
     [n_fft//2, n_fft//2 + (n_frames-1)*hop), as float32 numpy (becomes an XLA
     constant, computed once per shape).
     """
-    # pure numpy (this helper runs at trace time; jnp would leak tracers)
-    w = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)) ** 2
+    w = hann_window_np(n_fft).astype(np.float64) ** 2
     out_len = (n_frames - 1) * hop + n_fft
     env = np.zeros(out_len, dtype=np.float64)
     for i in range(n_frames):

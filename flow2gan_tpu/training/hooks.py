@@ -42,6 +42,47 @@ def check_finite(flags: Dict, what: str) -> bool:
     return ok
 
 
+class NonfiniteLossGuard:
+    """Shared trainer policy for non-finite losses (used by pretrain and
+    finetune): if ScaledAdam zeroed the gradients (clip_scale == 0) the
+    params are untouched and training continues (warn + one bad-model dump);
+    if the grads were applied, or the streak persists, abort with the
+    actionable error. Replaces the reference's fp16 grad-scale watchdog
+    (bin/pretrain.py:489-515)."""
+
+    def __init__(self, max_streak: int = 25):
+        self.max_streak = max_streak
+        self.streak = 0
+        self.dumped = False
+
+    def check(self, loss_val: float, clip_scale: float, batch_idx: int,
+              save_bad_model, params_tree=None) -> None:
+        import numpy as np
+
+        from flow2gan_tpu.training.err import raise_nonfinite_loss_error
+
+        if np.isfinite(loss_val):
+            self.streak = 0
+            return
+        self.streak += 1
+        logging.warning(
+            f"Non-finite loss at batch {batch_idx} (streak {self.streak}, "
+            f"clip_scale {clip_scale})"
+        )
+        if not self.dumped:
+            save_bad_model("-first-nonfinite")
+            self.dumped = True
+        if params_tree is not None:
+            bad = find_nonfinite_leaves(params_tree)
+            if bad:
+                logging.warning(f"Non-finite params at: {bad}")
+        # clip_scale == 0 -> optimizer provably zeroed the grads; otherwise
+        # the update was applied with non-finite values: abort immediately
+        if clip_scale != 0.0 or self.streak >= self.max_streak:
+            save_bad_model("")
+            raise_nonfinite_loss_error(batch_idx)
+
+
 def find_nonfinite_leaves(tree, limit: int = 10):
     """Detailed host-side scan: names of non-finite leaves (debug aid)."""
     import numpy as np

@@ -144,10 +144,15 @@ class ScaledAdam:
         # NaN threshold = too many non-finite grads in the history window ->
         # zero all grads (the reference raises "Too many grads were not
         # finite" here, optim.py:574-575; inside jit we zero instead and the
-        # trainer's clip_scale==0 / non-finite-loss watchdogs surface it)
+        # trainer's clip_scale==0 watchdog surfaces it)
         ans = jnp.where(jnp.isposinf(threshold), 1.0, ans)
         ans = jnp.where(jnp.isnan(threshold) | jnp.isnan(ans), 0.0, ans)
         ans = jnp.where(step == 0, 1.0, ans)
+        # non-finite gradients ALWAYS zero the update, including before the
+        # threshold is calibrated (steps 0-9) — one poisoned batch must never
+        # corrupt the params (stronger than the reference, which relied on
+        # the fp16 grad-scaler to catch this window)
+        ans = jnp.where(jnp.isfinite(tot_norm), ans, 0.0)
 
         num_clipped = jnp.where(recalibrated, 0, state.num_clipped)
         num_clipped = num_clipped + (ans < 1.0).astype(jnp.int32)

@@ -223,3 +223,34 @@ def test_poisoned_batch_does_not_corrupt_params():
     upd, state = opt.update({"w": jnp.ones((4, 4))}, state, params, lr=0.01)
     params = optax.apply_updates(params, upd)
     assert np.isfinite(np.asarray(params["w"])).all()
+
+
+def test_poisoned_batch_before_calibration():
+    """Regression: non-finite grads at steps < 10 (no threshold yet) must
+    still zero the update — previously clip was forced to 1.0 there."""
+    opt = scaled_adam(clipping_scale=2.0)
+    params = {"w": jnp.ones((4, 4))}
+    state = opt.init(params)
+    for _ in range(2):
+        upd, state = opt.update({"w": jnp.ones((4, 4))}, state, params, lr=0.01)
+        params = optax.apply_updates(params, upd)
+    upd, state = opt.update({"w": jnp.full((4, 4), jnp.nan)}, state, params, lr=0.01)
+    params = optax.apply_updates(params, upd)
+    assert float(state.clip_scale) == 0.0
+    assert np.isfinite(np.asarray(params["w"])).all()
+
+
+def test_nonfinite_loss_guard():
+    from flow2gan_tpu.training.hooks import NonfiniteLossGuard
+
+    g = NonfiniteLossGuard(max_streak=3)
+    dumps = []
+    g.check(1.0, 1.0, 1, dumps.append)  # finite: no-op
+    g.check(float("nan"), 0.0, 2, dumps.append)  # protected: continue
+    assert dumps == ["-first-nonfinite"]
+    with pytest.raises(RuntimeError):  # unprotected: abort immediately
+        g.check(float("nan"), 1.0, 3, dumps.append)
+    g2 = NonfiniteLossGuard(max_streak=2)
+    g2.check(float("nan"), 0.0, 1, lambda s: None)
+    with pytest.raises(RuntimeError):  # streak limit even when protected
+        g2.check(float("nan"), 0.0, 2, lambda s: None)

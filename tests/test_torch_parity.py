@@ -239,10 +239,12 @@ def test_gan_checkpoint_unwrap_and_convert(pair, tmp_path):
         {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd_gen.items()},
         unwrap_generator=True,
     )
-    rng_template = jax.tree.map(lambda x: x, variables["params"])
+    # unwrap must DROP non-generator entries entirely
+    assert not any("discriminator" in k or "mel_recon" in k for k in stripped)
     params, missing, unexpected = convert_torch_state_dict(
-        stripped, rng_template, strict=True
+        stripped, variables["params"], strict=True
     )
     assert not missing
+    assert not unexpected
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(variables["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
