@@ -1,0 +1,82 @@
+"""Unit tests for bin/infer.py checkpoint resolution (epoch / plain avg /
+windowed avg / GAN unwrap) using tiny-model checkpoints on disk."""
+
+import argparse
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flow2gan_tpu.bin.infer import resolve_params
+from flow2gan_tpu.models import build_generator, get_generator_config
+from flow2gan_tpu.training.checkpoint import save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpts(tmp_path_factory):
+    d = tmp_path_factory.mktemp("exp")
+    cfg = get_generator_config("mel_24k_tiny")
+    model = build_generator(cfg)
+    rng = jax.random.PRNGKey(0)
+    init = model.init(
+        {"params": rng, "noise": rng}, jnp.zeros((1, cfg.n_mels, 8)),
+        n_timesteps=1, method="infer",
+    )["params"]
+
+    def scaled(s):
+        return jax.tree.map(lambda x: np.asarray(x) * s, init)
+
+    for epoch, scale, bidx in [(1, 1.0, 100), (2, 2.0, 200), (3, 3.0, 300)]:
+        save_checkpoint(
+            d / f"epoch-{epoch}.ckpt",
+            params=scaled(scale),
+            model_avg=jax.tree.map(lambda x: np.asarray(x, np.float64), scaled(scale)),
+            train_params={"batch_idx_train": bidx},
+        )
+    return d, model, init
+
+
+def _args(exp_dir, **kw):
+    base = dict(
+        checkpoint=None, hf_model_name=None, epoch=None, avg=None,
+        use_averaged_model=True, load_gan=False, exp_dir=exp_dir,
+    )
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+def test_resolve_epoch(tiny_ckpts):
+    d, model, init = tiny_ckpts
+    params = resolve_params(_args(d, epoch=2), model, init)
+    a = jax.tree.leaves(init)[0]
+    b = jax.tree.leaves(params)[0]
+    np.testing.assert_allclose(np.asarray(b), 2.0 * np.asarray(a), rtol=1e-6)
+
+
+def test_resolve_plain_average(tiny_ckpts):
+    d, model, init = tiny_ckpts
+    params = resolve_params(
+        _args(d, epoch=3, avg=2, use_averaged_model=False), model, init
+    )
+    a = jax.tree.leaves(init)[0]
+    b = jax.tree.leaves(params)[0]
+    # mean of epochs 2 and 3 -> 2.5x
+    np.testing.assert_allclose(np.asarray(b), 2.5 * np.asarray(a), rtol=1e-6)
+
+
+def test_resolve_windowed_average(tiny_ckpts):
+    d, model, init = tiny_ckpts
+    params = resolve_params(_args(d, epoch=3, avg=2), model, init)
+    a = np.asarray(jax.tree.leaves(init)[0], np.float64)
+    # windowed: (avg3 * 300 - avg1 * 100) / 200 = (3*300 - 1*100)/200 = 4x
+    b = jax.tree.leaves(params)[0]
+    np.testing.assert_allclose(np.asarray(b), 4.0 * a, rtol=1e-5)
+
+
+def test_resolve_requires_source(tiny_ckpts):
+    d, model, init = tiny_ckpts
+    with pytest.raises(ValueError):
+        resolve_params(_args(d), model, init)
