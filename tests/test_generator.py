@@ -241,3 +241,25 @@ def test_pallas_istft_model_flag_matches_default():
     a = m1.apply(v, cond, n_timesteps=1, method="infer", rngs={"noise": rng})
     b = m2.apply(v, cond, n_timesteps=1, method="infer", rngs={"noise": rng})
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compute_dtype_bf16_inside():
+    """compute_dtype='bfloat16' must actually run the ConvNeXt stack in bf16
+    (params stay f32, output returns f32)."""
+    cfg = get_generator_config("mel_24k_tiny")
+    cfg["compute_dtype"] = "bfloat16"
+    model = build_generator(cfg)
+    rng = jax.random.PRNGKey(0)
+    cond = jax.random.normal(rng, (1, cfg.n_mels, 8))
+    v = model.init({"params": rng, "noise": rng}, cond, n_timesteps=1, method="infer")
+    assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(v["params"]))
+    out, inter = model.apply(
+        v, cond, n_timesteps=1, method="infer", rngs={"noise": rng},
+        capture_intermediates=True, mutable=["intermediates"],
+    )
+    assert out.dtype == jnp.float32
+    # some intermediate activations must be bf16
+    leaves = jax.tree.leaves(inter["intermediates"])
+    assert any(
+        getattr(x, "dtype", None) == jnp.bfloat16 for x in leaves
+    ), "no bf16 activations found"
