@@ -79,13 +79,52 @@ def istft_pallas(
 
     Semantics match ops.stft.istft (center=True, periodic Hann). Requires
     `supported(n_fft, hop_length)`; callers should fall back to ops.stft.istft
-    otherwise.
+    otherwise. Differentiable: iSTFT is linear, so the VJP reuses the XLA
+    path's adjoint (Pallas kernels have no autodiff rule of their own) —
+    training configs may therefore enable use_pallas_istft too.
     """
     if not supported(n_fft, hop_length):
         raise NotImplementedError(
             f"istft_pallas requires 128-aligned hop (got n_fft={n_fft}, "
             f"hop={hop_length}); use ops.stft.istft"
         )
+    return _istft_pallas_diff(spec, n_fft, hop_length, length, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _istft_pallas_diff(spec, n_fft, hop_length, length, interpret):
+    return _istft_pallas_impl(spec, n_fft, hop_length, length, interpret)
+
+
+def _istft_pallas_diff_fwd(spec, n_fft, hop_length, length, interpret):
+    out = _istft_pallas_impl(spec, n_fft, hop_length, length, interpret)
+    return out, spec.shape
+
+
+def _istft_pallas_diff_bwd(n_fft, hop_length, length, interpret, spec_shape, g):
+    from flow2gan_tpu.ops.stft import istft
+
+    # iSTFT is linear: its VJP is input-independent, so evaluate the XLA
+    # implementation's adjoint at zero
+    zero = jnp.zeros(spec_shape, jnp.complex64)
+    _, vjp_fn = jax.vjp(
+        lambda s: istft(s, n_fft, hop_length, length=length, method="matmul"),
+        zero,
+    )
+    (ds,) = vjp_fn(g)
+    return (ds,)
+
+
+_istft_pallas_diff.defvjp(_istft_pallas_diff_fwd, _istft_pallas_diff_bwd)
+
+
+def _istft_pallas_impl(
+    spec: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    length: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
     b, t_f, f = spec.shape
     assert f == n_fft // 2 + 1, (f, n_fft)
     b_pad = (-b) % 8

@@ -72,13 +72,48 @@ def stft_pallas(
     """Fused onesided STFT of (B, L) -> complex (B, T_f, n_fft//2 + 1).
 
     Matches ops.stft.stft(center=True, method='matmul'). Requires
-    `supported(n_fft, hop_length)`.
+    `supported(n_fft, hop_length)`. Differentiable via the XLA path's adjoint
+    (the STFT is linear).
     """
     if not supported(n_fft, hop_length):
         raise NotImplementedError(
             f"stft_pallas requires 128-aligned hop (got n_fft={n_fft}, "
             f"hop={hop_length}); use ops.stft.stft"
         )
+    return _stft_pallas_diff(x, n_fft, hop_length, pad_mode, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _stft_pallas_diff(x, n_fft, hop_length, pad_mode, interpret):
+    return _stft_pallas_impl(x, n_fft, hop_length, pad_mode, interpret)
+
+
+def _stft_pallas_diff_fwd(x, n_fft, hop_length, pad_mode, interpret):
+    return _stft_pallas_impl(x, n_fft, hop_length, pad_mode, interpret), x.shape
+
+
+def _stft_pallas_diff_bwd(n_fft, hop_length, pad_mode, interpret, x_shape, g):
+    from flow2gan_tpu.ops.stft import stft
+
+    zero = jnp.zeros(x_shape, jnp.float32)
+    _, vjp_fn = jax.vjp(
+        lambda a: stft(a, n_fft, hop_length, pad_mode=pad_mode, method="matmul"),
+        zero,
+    )
+    (dx,) = vjp_fn(g)
+    return (dx,)
+
+
+_stft_pallas_diff.defvjp(_stft_pallas_diff_fwd, _stft_pallas_diff_bwd)
+
+
+def _stft_pallas_impl(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    pad_mode: str = "reflect",
+    interpret: bool = False,
+) -> jnp.ndarray:
     b, L = x.shape
     # pad the batch to a multiple of 8: keeps the per-block row count at 8
     # (a large ragged batch as one block would blow VMEM / unroll budget)

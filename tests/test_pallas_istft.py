@@ -40,3 +40,20 @@ def test_pallas_istft_unsupported_hop_raises():
     spec = stft(x, 128, 64)
     with pytest.raises(NotImplementedError):
         istft_pallas(spec, 128, 64, interpret=True)
+
+
+def test_pallas_istft_differentiable():
+    """VJP via the XLA adjoint (iSTFT is linear): grads must match the XLA
+    path, enabling use_pallas_istft in training configs."""
+    import jax
+
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 4000).astype(np.float32))
+    spec = stft(x, 256, 128)
+    g_pallas = jax.grad(
+        lambda s: (istft_pallas(s, 256, 128, 4000, True) ** 2).sum()
+    )(spec)
+    g_xla = jax.grad(
+        lambda s: (istft(s, 256, 128, length=4000, method="matmul") ** 2).sum()
+    )(spec)
+    scale = np.abs(np.asarray(g_xla)).max() + 1e-9
+    assert np.abs(np.asarray(g_pallas - g_xla)).max() / scale < 1e-5

@@ -27,3 +27,17 @@ def test_pallas_stft_unsupported_hop():
     x = jnp.zeros((2, 4000), jnp.float32)
     with pytest.raises(NotImplementedError):
         stft_pallas(x, 128, 64, interpret=True)
+
+
+def test_pallas_stft_differentiable():
+    import jax
+
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 4000).astype(np.float32))
+    g_pallas = jax.grad(
+        lambda a: jnp.abs(stft_pallas(a, 256, 128, interpret=True)).sum()
+    )(x)
+    g_xla = jax.grad(
+        lambda a: jnp.abs(stft(a, 256, 128, method="matmul")).sum()
+    )(x)
+    scale = np.abs(np.asarray(g_xla)).max() + 1e-9
+    assert np.abs(np.asarray(g_pallas - g_xla)).max() / scale < 1e-5
