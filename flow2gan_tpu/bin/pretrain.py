@@ -90,6 +90,9 @@ def get_parser():
     parser.add_argument("--use-bf16", type=str2bool, default=False,
                         help="bf16 activations in the model compute path")
     parser.add_argument("--tensorboard", type=str2bool, default=True)
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of batches 10-15 "
+                        "into this directory (view with TensorBoard)")
     return parser
 
 
@@ -326,7 +329,13 @@ def run(args):
                 },
                 mesh,
             )
+            if params.profile_dir and params.batch_idx_train == 10:
+                jax.profiler.start_trace(params.profile_dir)
             state, metrics = train_step(state, device_batch, step_rng)
+            if params.profile_dir and params.batch_idx_train == 15:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                logging.info(f"Profiler trace written to {params.profile_dir}")
 
             if params.print_diagnostics:
                 # re-run forward with intermediates captured (few batches)
