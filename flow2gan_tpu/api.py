@@ -51,14 +51,16 @@ class VocoderModel:
         )
         self._mel_jit = jax.jit(self._mel_fn)
 
-    def _infer_impl(self, variables, cond, key, n_timesteps, clamp_pred):
+    def _infer_impl(self, variables, cond, seed, n_timesteps, clamp_pred):
+        # PRNG key built inside jit (host-side key construction/folding costs
+        # ~0.3 ms of dispatch overhead per call)
         return self.module.apply(
             variables,
             cond,
             n_timesteps=n_timesteps,
             clamp_pred=clamp_pred,
             method="infer",
-            rngs={"noise": key},
+            rngs={"noise": jax.random.PRNGKey(seed)},
         )
 
     def mel(self, audio) -> jnp.ndarray:
@@ -75,7 +77,7 @@ class VocoderModel:
         return self._infer_jit(
             self.variables,
             jnp.asarray(cond),
-            jax.random.PRNGKey(seed),
+            jnp.int32(seed),
             n,
             clamp_pred,
         )

@@ -98,6 +98,8 @@ def get_parser():
     parser.add_argument("--tensorboard", type=str2bool, default=True)
     parser.add_argument("--print-diagnostics", type=str2bool, default=False,
                         help="Collect generator activation stats for 5 batches, print, exit")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of batches 10-15")
     return parser
 
 
@@ -316,6 +318,8 @@ def run(args):
                 {"audio": batch["audio"], "audio_lens": batch["audio_lens"]}, mesh
             )
 
+            if params.profile_dir and params.batch_idx_train == 10:
+                jax.profiler.start_trace(params.profile_dir)
             if params.train_disc:
                 state, metrics = d_step(state, device_batch, step_rng)
                 loss_val = float(metrics["loss_d"])
@@ -359,6 +363,13 @@ def run(args):
                     diag.print_diagnostics()
                     logging.info("Diagnostics done, exiting")
                     return
+
+            if params.profile_dir and params.batch_idx_train == 15:
+                jax.block_until_ready(
+                    metrics.get("loss_d", metrics.get("loss_g"))
+                )
+                jax.profiler.stop_trace()
+                logging.info(f"Profiler trace written to {params.profile_dir}")
 
             guard.check(
                 loss_val,
