@@ -3,9 +3,15 @@
 the paper's GPU). Runs on jax.devices()[0] (the real TPU chip under the
 driver).
 
-TPU timing through the axon tunnel is noisy run-to-run, so both compute
-dtypes (f32 with MXU matmul-DFT, bf16) are measured in the same process and
-the best is reported. Prints ONE JSON line.
+Timing protocol: on remotely-tunneled TPU runtimes `block_until_ready()` can
+acknowledge before device execution actually finishes (verified here with a
+110-TFLOP chained matmul "completing" in 0.1 ms), which silently inflates
+throughput ~16x. The only trustworthy fence is a value dependency, so each
+timed loop enqueues n_iters calls and then fetches ONE scalar from the last
+output — the device executes its queue serially, so the fetch drains all
+n_iters programs, and the scalar transfer itself costs ~0.07 ms (amortized
+over n_iters). Both compute dtypes are measured in the same process, best-of-3
+per dtype to dodge tunnel noise. Prints ONE JSON line.
 """
 
 import json
@@ -21,12 +27,12 @@ import jax.numpy as jnp
 BASELINE_XRT_GPU_1STEP = 851.67  # reference paper speed table (BASELINE.md)
 
 
-def measure(compute_dtype, batch=16, seconds=1.0, n_iters=50, n_timesteps=1):
+def measure(compute_dtype, batch=16, seconds=1.0, n_iters=20, n_timesteps=1):
     from flow2gan_tpu.models import build_generator, get_generator_config
 
     cfg = get_generator_config("mel_24k_base")
     cfg["compute_dtype"] = compute_dtype
-    cfg["use_pallas_istft"] = True  # fused iSTFT kernel (2x end-to-end win)
+    cfg["use_pallas_istft"] = True  # fused iSTFT kernel
     model = build_generator(cfg)
     rng = jax.random.PRNGKey(0)
     frames = 1 + int(seconds * cfg.sampling_rate) // cfg.mel_hop_length  # 94
@@ -38,7 +44,7 @@ def measure(compute_dtype, batch=16, seconds=1.0, n_iters=50, n_timesteps=1):
     @jax.jit
     def synth(variables, cond, key, step):
         # fold the key INSIDE jit: host-side fold_in costs ~0.3 ms/call of
-        # dispatch overhead (measured via jax.profiler), ~40% of the step
+        # dispatch work, which throttles how fast the queue can be fed
         return model.apply(
             variables,
             cond,
@@ -49,7 +55,7 @@ def measure(compute_dtype, batch=16, seconds=1.0, n_iters=50, n_timesteps=1):
         )
 
     out = synth(variables, cond, rng, jnp.int32(0))
-    out.block_until_ready()
+    _ = float(out.ravel()[0])  # warm-up with a TRUE completion fence
     audio_seconds = out.shape[0] * out.shape[1] / cfg.sampling_rate
 
     steps = [jnp.int32(i) for i in range(n_iters)]  # pre-staged scalars
@@ -58,7 +64,7 @@ def measure(compute_dtype, batch=16, seconds=1.0, n_iters=50, n_timesteps=1):
         t0 = time.perf_counter()
         for i in range(n_iters):
             out = synth(variables, cond, rng, steps[i])
-        out.block_until_ready()
+        _ = float(out.ravel()[0])  # value dependency drains the device queue
         best = min(best, (time.perf_counter() - t0) / n_iters)
     return audio_seconds / best
 

@@ -46,11 +46,13 @@ def main(batch=256, seconds=1.5, n_steps=20):
     state = init_train_state(params, opt)
 
     state, m = step(state, batch_d, rng)  # compile
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])  # value dependency = TRUE completion fence
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, m = step(state, batch_d, rng)
-    jax.block_until_ready(m["loss"])
+    # block_until_ready can ack early on tunneled TPU runtimes (see bench.py);
+    # fetching the loss value drains the serially-executed device queue.
+    _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / n_steps
     result = {
         "metric": "fm_train_steps_per_sec_b256",
