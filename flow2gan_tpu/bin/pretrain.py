@@ -34,15 +34,20 @@ from flow2gan_tpu.models import build_generator, get_generator_config
 from flow2gan_tpu.ops.mel import LogMelSpectrogram
 from flow2gan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from flow2gan_tpu.training import checkpoint as ckpt
-from flow2gan_tpu.training.diagnostics import DiagnosticsCollector
+from flow2gan_tpu.training.diagnostics import (
+    DiagnosticsCollector,
+    collect_scalar_diagnostics,
+    print_scalar_diagnostics,
+)
 from flow2gan_tpu.training.env import get_env_info
 from flow2gan_tpu.training.err import raise_nonfinite_loss_error
 from flow2gan_tpu.training.hooks import NonfiniteLossGuard, find_nonfinite_leaves
-from flow2gan_tpu.training.optim import eden2_lr, scaled_adam
+from flow2gan_tpu.training.optim import dominant_parameters, eden2_lr, scaled_adam
 from flow2gan_tpu.training.train_step import (
     TrainState,
     init_train_state,
     make_fm_eval_step,
+    make_fm_grad_fn,
     make_fm_train_step,
 )
 from flow2gan_tpu.utils import (
@@ -256,6 +261,7 @@ def run(args):
     lr_fn = lambda b: eden2_lr(params.base_lr, b, params.lr_batches)
     train_step = make_fm_train_step(model, optimizer, lr_fn, mel_fn=mel_fn)
     eval_step = make_fm_eval_step(model, mel_fn=mel_fn)
+    debug_grad_fn = None  # built lazily on first hard-clip (inf-check only)
 
     state = init_train_state(replicate(init_params, mesh), optimizer)
     model_avg = jax.tree.map(lambda x: np.asarray(x, np.float64), init_params)
@@ -353,6 +359,50 @@ def run(args):
                 diag.collect_params(state.params)
                 if batch_idx == 5:
                     diag.print_diagnostics()
+                    # nonlinearity activation-vs-gradient histograms
+                    # (reference ScalarDiagnostic, diagnostics.py:337-511)
+                    from flow2gan_tpu.models import norms as _norms
+
+                    scalar_stats = {}
+                    with _norms.diagnostic_perturbations():
+                        cond0 = mel_fn(device_batch["audio"])
+                        srng = jax.random.fold_in(step_rng, 999)
+                        pvars = model.init(
+                            {"params": srng, "noise": srng,
+                             "gate": srng, "dropout": srng},
+                            cond0,
+                            device_batch["audio"],
+                            device_batch["audio_lens"],
+                            train=True,
+                        )
+                        perts = jax.tree.map(
+                            jnp.zeros_like, pvars["perturbations"]
+                        )
+
+                        def ploss(p):
+                            out, mut = model.apply(
+                                {"params": state.params, "perturbations": p},
+                                cond0,
+                                device_batch["audio"],
+                                device_batch["audio_lens"],
+                                train=True,
+                                rngs={
+                                    "noise": jax.random.fold_in(srng, 0),
+                                    "gate": jax.random.fold_in(srng, 1),
+                                    "dropout": jax.random.fold_in(srng, 2),
+                                },
+                                capture_intermediates=(
+                                    lambda m, _: type(m).__name__ == "PReLU"
+                                ),
+                                mutable=["intermediates"],
+                            )
+                            return out, mut["intermediates"]
+
+                        (_, inter2), pgrads = jax.value_and_grad(
+                            ploss, has_aux=True
+                        )(perts)
+                    collect_scalar_diagnostics(scalar_stats, inter2, pgrads)
+                    print_scalar_diagnostics(scalar_stats)
                     logging.info("Diagnostics done, exiting")
                     return
 
@@ -362,9 +412,27 @@ def run(args):
             loss_info["loss"] = loss_val * n_samples
             tot_losses[dl_idx] = tot_losses[dl_idx] + loss_info
 
+            clip_scale_val = float(metrics["clip_scale"])
+            if clip_scale_val == 0.0 and params.inf_check:
+                # reference show_dominant_parameters (optim.py:608,670-734):
+                # when the whole batch is clipped away, say WHICH parameter's
+                # gradient dominated the norm.
+                if debug_grad_fn is None:
+                    debug_grad_fn = make_fm_grad_fn(model, mel_fn=mel_fn)
+                bad_grads = debug_grad_fn(
+                    state.params,
+                    device_batch,
+                    jax.random.fold_in(step_rng, params.batch_idx_train),
+                )
+                for name, prop, grms in dominant_parameters(
+                    bad_grads, param_rms=state.opt_state.param_rms
+                ):
+                    logging.warning(
+                        f"Dominant grad: {name} share={prop:.2%} rms={grms:.3g}"
+                    )
             guard.check(
                 loss_val,
-                float(metrics["clip_scale"]),
+                clip_scale_val,
                 params.batch_idx_train,
                 save_bad_model,
                 params_tree=state.params if params.inf_check else None,

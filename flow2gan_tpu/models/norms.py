@@ -15,12 +15,33 @@ functions + flax modules in channels-last layout:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# When enabled (scalar-diagnostics mode only), PReLU outputs get a flax
+# `perturb` tap so jax.grad w.r.t. the 'perturbations' collection yields
+# dL/d(activation) — the JAX replacement for the reference's backward hooks
+# on nonlinearity modules (ScalarDiagnostic, diagnostics.py:337-511).
+# Off by default: perturb taps are a no-op at apply time but materialize
+# activation-sized zero buffers at init time.
+_DIAG_PERTURB = False
+
+
+@contextlib.contextmanager
+def diagnostic_perturbations():
+    """Enable PReLU perturbation taps for init/apply traced inside."""
+    global _DIAG_PERTURB
+    prev = _DIAG_PERTURB
+    _DIAG_PERTURB = True
+    try:
+        yield
+    finally:
+        _DIAG_PERTURB = prev
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -136,4 +157,7 @@ class PReLU(nn.Module):
             lambda k, s: jnp.full(s, self.init_alpha, jnp.float32),
             (self.channels,),
         )
-        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+        y = jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+        if _DIAG_PERTURB:
+            y = self.perturb("act", y)
+        return y

@@ -103,3 +103,83 @@ class DiagnosticsCollector:
     def print_diagnostics(self, log=logging.info):
         for name in sorted(self.stats):
             log(f"Diagnostics [{name}]: {self.stats[name].summary()}")
+
+
+class ScalarDiagnostic:
+    """Activation-value vs gradient histogram for one nonlinearity — the JAX
+    equivalent of the reference's ScalarDiagnostic backward-hook histograms
+    (reference diagnostics.py:337-511, 20 bins). The range is fixed from the
+    first batch's abs-max; later batches accumulate into the same bins."""
+
+    N_BINS = 20
+
+    def __init__(self):
+        self.limit = None
+        self.counts = np.zeros(self.N_BINS, np.int64)
+        self.grad_abs = np.zeros(self.N_BINS, np.float64)
+        self.grad_sum = np.zeros(self.N_BINS, np.float64)
+
+    def update(self, value: np.ndarray, grad: np.ndarray):
+        v = np.asarray(value, np.float32).ravel()
+        g = np.asarray(grad, np.float32).ravel()
+        if self.limit is None:
+            self.limit = float(np.abs(v).max(initial=0.0)) or 1.0
+        idx = np.clip(
+            ((v / self.limit) * 0.5 + 0.5) * self.N_BINS, 0, self.N_BINS - 1
+        ).astype(np.int64)
+        np.add.at(self.counts, idx, 1)
+        np.add.at(self.grad_abs, idx, np.abs(g).astype(np.float64))
+        np.add.at(self.grad_sum, idx, g.astype(np.float64))
+
+    def summary(self) -> str:
+        if self.limit is None or self.counts.sum() == 0:
+            return "empty"
+        tot = self.counts.sum()
+        occ = self.counts / tot
+        mean_abs_grad = self.grad_abs / np.maximum(self.counts, 1)
+        top = np.argsort(-occ)[:4]
+        edges = np.linspace(-self.limit, self.limit, self.N_BINS + 1)
+        cells = ", ".join(
+            f"[{edges[i]:.2g},{edges[i+1]:.2g}): occ={occ[i]:.2f} "
+            f"|g|={mean_abs_grad[i]:.3g}"
+            for i in sorted(top)
+        )
+        return f"range=±{self.limit:.3g} top-bins: {cells}"
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", "?"))) for k in path)
+
+
+def collect_scalar_diagnostics(stats, intermediates, perturb_grads):
+    """Pair captured nonlinearity outputs with their perturbation gradients.
+
+    `intermediates` is the 'intermediates' collection of an apply with
+    `capture_intermediates` filtered to the nonlinearity modules;
+    `perturb_grads` is jax.grad of the loss w.r.t. the 'perturbations'
+    collection (see models/norms.py `diagnostic_perturbations`). Both trees
+    share module scopes; entries are matched on the scope prefix.
+    `stats` is a dict name -> ScalarDiagnostic, updated in place."""
+    values = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(intermediates)[0]:
+        name = _path_str(path)
+        for suffix in ("/__call__/0", "/__call__"):
+            if name.endswith(suffix):
+                name = name[: -len(suffix)]
+                break
+        if hasattr(leaf, "shape"):
+            values[name] = leaf
+    for path, g in jax.tree_util.tree_flatten_with_path(perturb_grads)[0]:
+        name = _path_str(path)
+        if name.endswith("/act"):
+            name = name[: -len("/act")]
+        v = values.get(name)
+        if v is not None and hasattr(g, "shape") and v.shape == g.shape:
+            stats.setdefault(name, ScalarDiagnostic()).update(
+                np.asarray(v), np.asarray(g)
+            )
+
+
+def print_scalar_diagnostics(stats, log=logging.info):
+    for name in sorted(stats):
+        log(f"ScalarDiagnostics [{name}]: {stats[name].summary()}")

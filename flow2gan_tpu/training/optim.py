@@ -36,6 +36,7 @@ from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class ScaledAdamState(NamedTuple):
@@ -423,6 +424,49 @@ class Eve:
 
 def eve(**kwargs) -> Eve:
     return Eve(**kwargs)
+
+
+def dominant_parameters(grads, param_rms=None, top_n: int = 5):
+    """Rank parameters by their share of the (RMS-normalized) gradient norm —
+    the reference's `show_dominant_parameters` clipping diagnostic
+    (reference optim.py:670-734), as a pure host-side helper the trainers
+    call when extreme clipping / non-finite grads are detected.
+
+    Args:
+      grads: gradient pytree (host or device arrays).
+      param_rms: optional pytree of per-leaf parameter RMS (from
+        ScaledAdamState.param_rms) matching the clipping norm's weighting;
+        if None, raw grad norms are ranked.
+      top_n: number of entries to return.
+
+    Returns list of (path, proportion, grad_rms) sorted by proportion.
+    Leaves containing non-finite gradients sort first (proportion computed
+    over the finite part; grad_rms reported as float('inf') so the log makes
+    the non-finiteness explicit rather than printing nan shares).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    rms_leaves = (
+        jax.tree.leaves(param_rms) if param_rms is not None else [None] * len(flat)
+    )
+    entries = []
+    tot = 0.0
+    for (path, g), rms in zip(flat, rms_leaves):
+        g = np.asarray(g, np.float32)
+        w = g if rms is None else g * np.asarray(rms, np.float32)
+        n_bad = int((~np.isfinite(g)).sum())
+        w64 = w.astype(np.float64)
+        sumsq = float(np.nansum(np.where(np.isfinite(w64), w64, 0.0) ** 2))
+        tot += sumsq
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", "?"))) for k in path)
+        g64 = g.astype(np.float64)
+        if n_bad:
+            grad_rms = float("inf")
+        else:
+            grad_rms = float(np.sqrt((g64**2).mean())) if g.size else 0.0
+        entries.append((name, sumsq, grad_rms, n_bad))
+    tot = tot or 1.0
+    entries.sort(key=lambda e: (-e[3], -e[1]))
+    return [(n, s / tot, r) for n, s, r, _ in entries[:top_n]]
 
 
 # -------------------------------------------------- per-parameter lr scaling

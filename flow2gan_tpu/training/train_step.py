@@ -100,6 +100,34 @@ def make_fm_train_step(
     return train_step
 
 
+def make_fm_grad_fn(model, mel_fn: Optional[Callable] = None):
+    """Jitted grad-only FM loss for debugging: lets the trainers rank
+    parameters by gradient-norm share (`optim.dominant_parameters`) when the
+    optimizer hard-clips or hits non-finite grads — the reference's
+    `show_dominant_parameters` path (reference optim.py:608,670-734)."""
+
+    def loss_fn(params, batch, rng):
+        cond = batch.get("cond")
+        if cond is None:
+            assert mel_fn is not None
+            cond = mel_fn(batch["audio"])
+        rngs = {
+            "noise": jax.random.fold_in(rng, 0),
+            "gate": jax.random.fold_in(rng, 1),
+            "dropout": jax.random.fold_in(rng, 2),
+        }
+        return model.apply(
+            {"params": params},
+            cond,
+            batch["audio"],
+            batch["audio_lens"],
+            train=True,
+            rngs=rngs,
+        )
+
+    return jax.jit(jax.grad(loss_fn))
+
+
 def make_fm_eval_step(model, mel_fn: Optional[Callable] = None):
     """Validation loss (no param update, eval-mode stochastics still sample
     t/x0 like the reference's compute_validation_loss)."""

@@ -104,3 +104,75 @@ def test_attribute_dict():
     d.b = 2
     assert d.a == 1 and d["b"] == 2
     assert '"a": 1' in str(d)
+
+
+def test_dominant_parameters():
+    """Ranks leaves by RMS-weighted grad-norm share (reference
+    show_dominant_parameters, optim.py:670-734)."""
+    import numpy as np
+    from flow2gan_tpu.training.optim import dominant_parameters
+
+    grads = {"a": np.ones((4, 4), np.float32) * 10.0,
+             "b": {"w": np.ones((4,), np.float32) * 0.1}}
+    out = dominant_parameters(grads, top_n=2)
+    assert out[0][0] == "a" and out[0][1] > 0.99
+    assert out[1][0] == "b/w"
+    # RMS weighting can flip the ranking
+    rms = {"a": np.float32(0.001), "b": {"w": np.float32(100.0)}}
+    out2 = dominant_parameters(grads, param_rms=rms, top_n=2)
+    assert out2[0][0] == "b/w"
+
+
+def test_scalar_diagnostics_perturb():
+    """PReLU perturbation taps yield dL/d(activation) histograms (reference
+    ScalarDiagnostic, diagnostics.py:337-511)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from flow2gan_tpu.models import norms
+    from flow2gan_tpu.training.diagnostics import (
+        ScalarDiagnostic,
+        collect_scalar_diagnostics,
+        print_scalar_diagnostics,
+    )
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(8)(x)
+            x = norms.PReLU(channels=8)(x)
+            return nn.Dense(1)(x).sum()
+
+    net = Net()
+    x = jnp.ones((4, 8))
+    with norms.diagnostic_perturbations():
+        variables = net.init(jax.random.PRNGKey(0), x)
+        assert "perturbations" in variables
+        perts = jax.tree.map(jnp.zeros_like, variables["perturbations"])
+
+        def ploss(p):
+            out, mut = net.apply(
+                {"params": variables["params"], "perturbations": p},
+                x,
+                capture_intermediates=lambda m, _: type(m).__name__ == "PReLU",
+                mutable=["intermediates"],
+            )
+            return out, mut["intermediates"]
+
+        (_, inter), pgrads = jax.value_and_grad(ploss, has_aux=True)(perts)
+
+    stats = {}
+    collect_scalar_diagnostics(stats, inter, pgrads)
+    assert len(stats) == 1
+    (name, sd), = stats.items()
+    assert sd.counts.sum() == 4 * 8
+    assert np.isfinite(sd.grad_abs).all() and sd.grad_abs.sum() > 0
+    print_scalar_diagnostics(stats, log=lambda s: None)
+    # perturb must be a no-op outside the context (normal training path)
+    variables2 = net.init(jax.random.PRNGKey(0), x)
+    assert "perturbations" not in variables2
+    y1 = net.apply({"params": variables["params"]}, x)
+    np.testing.assert_allclose(np.asarray(y1), float(_ := net.apply(
+        {"params": variables2["params"]}, x)), rtol=1e-6)
