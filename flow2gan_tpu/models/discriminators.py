@@ -191,11 +191,21 @@ class MultiResolutionDiscriminator(nn.Module):
 
 class Discriminators(nn.Module):
     """MPD + MRD bundle; param tree keys 'discriminator_0'/'discriminator_1'
-    mirror the reference GAN's ModuleList (gan.py:40-42) for conversion."""
+    mirror the reference GAN's ModuleList (gan.py:40-42) for conversion.
+
+    `periods`/`fft_sizes` default to the reference values; smaller tuples are
+    used by the multi-chip dryrun / tests to keep compile time down."""
+
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    fft_sizes: Tuple[int, ...] = (2048, 1024, 512)
 
     def setup(self):
-        self.mpd = MultiPeriodDiscriminator(name="discriminator_0")
-        self.mrd = MultiResolutionDiscriminator(name="discriminator_1")
+        self.mpd = MultiPeriodDiscriminator(
+            periods=self.periods, name="discriminator_0"
+        )
+        self.mrd = MultiResolutionDiscriminator(
+            fft_sizes=self.fft_sizes, name="discriminator_1"
+        )
 
     def __call__(self, y, y_hat):
         mp = self.mpd(y, y_hat)
