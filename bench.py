@@ -27,7 +27,10 @@ import jax.numpy as jnp
 BASELINE_XRT_GPU_1STEP = 851.67  # reference paper speed table (BASELINE.md)
 
 
-def measure(compute_dtype, batch=16, seconds=1.0, n_iters=20, n_timesteps=1):
+def measure(compute_dtype, batch=16, seconds=1.0, n_iters=100, n_timesteps=1):
+    """n_iters=100: the per-call cost only reaches steady state once the
+    enqueue pipeline is deep — 20 iters under-amortized the fence + ramp-up
+    and reported ~25% low (measured r2: 3878 -> 5226 xRT, same kernels)."""
     from flow2gan_tpu.models import build_generator, get_generator_config
 
     cfg = get_generator_config("mel_24k_base")
@@ -54,7 +57,12 @@ def measure(compute_dtype, batch=16, seconds=1.0, n_iters=20, n_timesteps=1):
             rngs={"noise": jax.random.fold_in(key, step)},
         )
 
-    out = synth(variables, cond, rng, jnp.int32(0))
+    # AOT-compile: python-side jit dispatch (cache lookup, pytree flatten of
+    # the 425-leaf variables dict) costs ~0.05 ms/call through the tunnel;
+    # the compiled handle skips it.
+    compiled = synth.lower(variables, cond, rng, jnp.int32(0)).compile()
+
+    out = compiled(variables, cond, rng, jnp.int32(0))
     _ = float(out.ravel()[0])  # warm-up with a TRUE completion fence
     audio_seconds = out.shape[0] * out.shape[1] / cfg.sampling_rate
 
@@ -63,7 +71,7 @@ def measure(compute_dtype, batch=16, seconds=1.0, n_iters=20, n_timesteps=1):
     for _ in range(3):  # best-of-3 repeats to dodge tunnel noise
         t0 = time.perf_counter()
         for i in range(n_iters):
-            out = synth(variables, cond, rng, steps[i])
+            out = compiled(variables, cond, rng, steps[i])
         _ = float(out.ravel()[0])  # value dependency drains the device queue
         best = min(best, (time.perf_counter() - t0) / n_iters)
     return audio_seconds / best
