@@ -37,6 +37,10 @@ from flow2gan_tpu.models.gan import make_mel_recon_fns
 from flow2gan_tpu.ops.mel import LogMelSpectrogram
 from flow2gan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from flow2gan_tpu.training import checkpoint as ckpt
+from flow2gan_tpu.bin.pretrain import (
+    restore_sampler_state,
+    sampler_state_snapshot,
+)
 from flow2gan_tpu.training.env import get_env_info
 from flow2gan_tpu.training.err import raise_nonfinite_loss_error
 from flow2gan_tpu.training.hooks import NonfiniteLossGuard
@@ -46,7 +50,12 @@ from flow2gan_tpu.training.gan_step import (
     init_gan_train_state,
     make_gan_steps,
 )
-from flow2gan_tpu.training.optim import eden2_lr, scaled_adam
+from flow2gan_tpu.training.optim import (
+    eden2_lr,
+    make_lr_scale_tree,
+    parse_lr_scale_rules,
+    scaled_adam,
+)
 from flow2gan_tpu.utils import (
     AttributeDict,
     MetricsTracker,
@@ -100,6 +109,15 @@ def get_parser():
                         help="Collect generator activation stats for 5 batches, print, exit")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of batches 10-15")
+    parser.add_argument("--freeze-modules", type=str, default=None,
+                        help="CSV of generator param-path prefixes to freeze "
+                        "(lr 0) during GAN fine-tuning, e.g. 'cond_encoder'")
+    parser.add_argument("--lr-scale-rules", type=str, default=None,
+                        help="CSV of prefix=scale generator lr multipliers")
+    parser.add_argument("--resume-from", type=str, default=None,
+                        help="Mid-epoch resume from a checkpoint-<N>.ckpt "
+                        "written by --save-every-n (restores both optimizers, "
+                        "train_disc alternation state, and sampler position)")
     return parser
 
 
@@ -178,6 +196,10 @@ def run(args):
         fmap_mr=params.feat_map_loss_mr_scale,
         mel_recon=params.mel_recon_loss_scale,
     )
+    rules = parse_lr_scale_rules(params.lr_scale_rules, params.freeze_modules)
+    lr_scale_g = make_lr_scale_tree(params_g, rules) if rules else None
+    if rules:
+        logging.info(f"Generator lr scale rules: {rules}")
     d_step, g_step, eval_step = make_gan_steps(
         generator,
         discriminators,
@@ -189,6 +211,7 @@ def run(args):
         lr_d_fn=lambda b: eden2_lr(params.lr_d, b, params.lr_batches_d),
         n_timesteps=params.n_timesteps,
         scales=scales,
+        lr_scale_g=lr_scale_g,
     )
 
     state = init_gan_train_state(
@@ -222,6 +245,36 @@ def run(args):
                 model_avg = ckpt.restore_params(model_avg, loaded["model_avg"])
             params.batch_idx_train = int(loaded.get("batch_idx_train", 0))
             params.train_disc = bool(loaded.get("train_disc", True))
+
+    resume_sampler = None
+    if params.resume_from:
+        resume = Path(params.resume_from)
+        logging.info(f"Mid-epoch resume from {resume}")
+        loaded = ckpt.load_checkpoint(resume)
+        state = GANTrainState(
+            params_g=replicate(
+                ckpt.restore_params(params_g, loaded["model"]["generator"]), mesh
+            ),
+            params_d=replicate(
+                ckpt.restore_params(params_d, loaded["model"]["discriminator"]),
+                mesh,
+            ),
+            opt_g=ckpt.restore_params(
+                jax.tree.map(np.asarray, state.opt_g), loaded["optimizer"]["g"]
+            ),
+            opt_d=ckpt.restore_params(
+                jax.tree.map(np.asarray, state.opt_d), loaded["optimizer"]["d"]
+            ),
+            batch_idx=jnp.asarray(loaded.get("batch_idx_train", 0), jnp.int32),
+        )
+        if loaded.get("model_avg") is not None:
+            model_avg = ckpt.restore_params(model_avg, loaded["model_avg"])
+        params.batch_idx_train = int(loaded.get("batch_idx_train", 0))
+        params.train_disc = bool(loaded.get("train_disc", True))
+        if loaded.get("sampler") is not None:
+            resume_sampler = loaded["sampler"]
+            params.start_epoch = int(resume_sampler["epoch"])
+            logging.info(f"Sampler restored at epoch {params.start_epoch}")
 
     # ---- data
     train_dls = [
@@ -297,10 +350,14 @@ def run(args):
         )
 
     for epoch in range(params.start_epoch, params.num_epochs + 1):
-        for dl in train_dls:
-            dl.set_epoch(epoch)
+        if resume_sampler is not None and epoch == params.start_epoch:
+            _, rng_py = restore_sampler_state(resume_sampler, train_dls)
+            resume_sampler = None
+        else:
+            for dl in train_dls:
+                dl.set_epoch(epoch)
+            rng_py = random.Random(params.seed + epoch)
         iters = [iter(dl) for dl in train_dls]
-        rng_py = random.Random(params.seed + epoch)
         tot_g = MetricsTracker()
         tot_d = MetricsTracker()
         batch_idx = 0
@@ -390,6 +447,30 @@ def run(args):
                     params.average_period,
                     params.batch_idx_train,
                 )
+
+            if (
+                jax.process_index() == 0
+                and params.batch_idx_train % params.save_every_n == 0
+            ):
+                ckpt.save_checkpoint_with_global_batch_idx(
+                    params.exp_dir,
+                    params.batch_idx_train,
+                    params={
+                        "generator": jax.tree.map(np.asarray, state.params_g),
+                        "discriminator": jax.tree.map(np.asarray, state.params_d),
+                    },
+                    model_avg=model_avg,
+                    optimizer_state={
+                        "g": jax.tree.map(np.asarray, state.opt_g),
+                        "d": jax.tree.map(np.asarray, state.opt_d),
+                    },
+                    train_params={
+                        "batch_idx_train": params.batch_idx_train,
+                        "train_disc": params.train_disc,
+                    },
+                    sampler_state=sampler_state_snapshot(epoch, train_dls, rng_py),
+                )
+                ckpt.remove_checkpoints(params.exp_dir, topk=params.keep_last_k)
 
             if params.batch_idx_train % params.log_interval in (0, 1):
                 logging.info(

@@ -42,7 +42,13 @@ from flow2gan_tpu.training.diagnostics import (
 from flow2gan_tpu.training.env import get_env_info
 from flow2gan_tpu.training.err import raise_nonfinite_loss_error
 from flow2gan_tpu.training.hooks import NonfiniteLossGuard, find_nonfinite_leaves
-from flow2gan_tpu.training.optim import dominant_parameters, eden2_lr, scaled_adam
+from flow2gan_tpu.training.optim import (
+    dominant_parameters,
+    eden2_lr,
+    make_lr_scale_tree,
+    parse_lr_scale_rules,
+    scaled_adam,
+)
 from flow2gan_tpu.training.train_step import (
     TrainState,
     init_train_state,
@@ -98,6 +104,19 @@ def get_parser():
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of batches 10-15 "
                         "into this directory (view with TensorBoard)")
+    parser.add_argument("--freeze-modules", type=str, default=None,
+                        help="CSV of param-path prefixes to freeze (lr 0), "
+                        "e.g. 'cond_encoder,estimators_0' (reference "
+                        "get_parameter_groups_with_lrs freeze_modules)")
+    parser.add_argument("--lr-scale-rules", type=str, default=None,
+                        help="CSV of prefix=scale per-module lr multipliers, "
+                        "e.g. 'cond_encoder=0.5' (reference lr_scale attrs)")
+    parser.add_argument("--resume-from", type=str, default=None,
+                        help="Mid-epoch resume from a checkpoint-<N>.ckpt "
+                        "written by --save-every-n; restores the sampler "
+                        "position so the data stream continues, not replays "
+                        "(reference persists the lhotse sampler, "
+                        "checkpoint.py:40-108)")
     return parser
 
 
@@ -106,6 +125,7 @@ def get_train_params(args) -> AttributeDict:
         {
             "batch_idx_train": 0,
             "best_valid_loss": float("inf"),
+            "best_valid_epoch": 0,
             "env_info": get_env_info(),
         }
     )
@@ -118,6 +138,38 @@ def load_manifests(csv: str):
     for path in csv.split(","):
         recs_list.append(read_recording_manifest(path))
     return recs_list
+
+
+def sampler_state_snapshot(epoch, train_dls, rng_py):
+    """Everything the epoch loop needs to continue mid-epoch: per-loader
+    positions plus the weighted-dataloader-choice RNG state."""
+    st = rng_py.getstate()
+    return {
+        "epoch": epoch,
+        "dl_states": [dl.state_dict() for dl in train_dls],
+        "rng_py": {"version": st[0], "state": list(st[1]), "gauss": st[2]},
+    }
+
+
+def _as_list(x):
+    """msgpack checkpoints store python lists as {"0": ..., "1": ...} dicts
+    (flax to_state_dict); accept both forms."""
+    if isinstance(x, dict):
+        return [x[k] for k in sorted(x, key=int)]
+    return list(x)
+
+
+def restore_sampler_state(snapshot, train_dls):
+    import random as _random
+
+    for dl, st in zip(train_dls, _as_list(snapshot["dl_states"])):
+        dl.load_state_dict(st)
+    rng_py = _random.Random()
+    r = snapshot["rng_py"]
+    rng_py.setstate((int(r["version"]),
+                     tuple(int(x) for x in _as_list(r["state"])),
+                     None if r["gauss"] is None else float(r["gauss"])))
+    return int(snapshot["epoch"]), rng_py
 
 
 def compute_validation_loss(params, eval_step, state, valid_dls, mesh, rng):
@@ -259,7 +311,13 @@ def run(args):
 
     optimizer = scaled_adam(clipping_scale=2.0)
     lr_fn = lambda b: eden2_lr(params.base_lr, b, params.lr_batches)
-    train_step = make_fm_train_step(model, optimizer, lr_fn, mel_fn=mel_fn)
+    rules = parse_lr_scale_rules(params.lr_scale_rules, params.freeze_modules)
+    lr_scale = make_lr_scale_tree(init_params, rules) if rules else None
+    if rules:
+        logging.info(f"Per-module lr scale rules: {rules}")
+    train_step = make_fm_train_step(
+        model, optimizer, lr_fn, mel_fn=mel_fn, lr_scale=lr_scale
+    )
     eval_step = make_fm_eval_step(model, mel_fn=mel_fn)
     debug_grad_fn = None  # built lazily on first hard-clip (inf-check only)
 
@@ -289,6 +347,33 @@ def run(args):
         else:
             logging.warning(f"No checkpoint {resume}; starting fresh")
 
+    resume_sampler = None
+    if params.resume_from:
+        resume = Path(params.resume_from)
+        logging.info(f"Mid-epoch resume from {resume}")
+        loaded = ckpt.load_checkpoint(resume)
+        state = TrainState(
+            params=replicate(
+                ckpt.restore_params(init_params, loaded["model"]), mesh
+            ),
+            opt_state=ckpt.restore_params(
+                jax.tree.map(np.asarray, state.opt_state), loaded["optimizer"]
+            )
+            if loaded.get("optimizer") is not None
+            else state.opt_state,
+            batch_idx=jnp.asarray(loaded.get("batch_idx_train", 0), jnp.int32),
+        )
+        if loaded.get("model_avg") is not None:
+            model_avg = ckpt.restore_params(model_avg, loaded["model_avg"])
+        params.batch_idx_train = int(loaded.get("batch_idx_train", 0))
+        if loaded.get("sampler") is not None:
+            resume_sampler = loaded["sampler"]
+            params.start_epoch = int(resume_sampler["epoch"])
+            logging.info(
+                f"Sampler restored: epoch {params.start_epoch}, consumed "
+                f"{[d['consumed'] for d in _as_list(resume_sampler['dl_states'])]}"
+            )
+
     tb_writer = None
     if params.tensorboard and jax.process_index() == 0:
         from tensorboardX import SummaryWriter
@@ -310,11 +395,15 @@ def run(args):
     guard = NonfiniteLossGuard()
 
     for epoch in range(params.start_epoch, params.num_epochs + 1):
-        for dl in train_dls:
-            dl.set_epoch(epoch)
+        if resume_sampler is not None and epoch == params.start_epoch:
+            _, rng_py = restore_sampler_state(resume_sampler, train_dls)
+            resume_sampler = None
+        else:
+            for dl in train_dls:
+                dl.set_epoch(epoch)
+            rng_py = random.Random(params.seed + epoch)
         iters = [iter(dl) for dl in train_dls]
         tot_losses = [MetricsTracker() for _ in train_dls]
-        rng_py = random.Random(params.seed + epoch)
 
         batch_idx = 0
         while True:
@@ -460,6 +549,7 @@ def run(args):
                     model_avg=model_avg,
                     optimizer_state=jax.tree.map(np.asarray, state.opt_state),
                     train_params={"batch_idx_train": params.batch_idx_train},
+                    sampler_state=sampler_state_snapshot(epoch, train_dls, rng_py),
                 )
                 ckpt.remove_checkpoints(params.exp_dir, topk=params.keep_last_k)
 
@@ -492,7 +582,19 @@ def run(args):
                 valid_info = compute_validation_loss(
                     params, eval_step, state, valid_dls, mesh, step_rng
                 )
-                logging.info(f"Epoch {epoch}, validation: {valid_info}")
+                valid_loss = (
+                    valid_info["loss"] / valid_info["samples"]
+                    if valid_info["samples"]
+                    else float("inf")
+                )
+                if valid_loss < params.best_valid_loss:
+                    params.best_valid_loss = valid_loss
+                    params.best_valid_epoch = epoch
+                logging.info(
+                    f"Epoch {epoch}, validation: {valid_info} "
+                    f"(best {params.best_valid_loss:.4g} "
+                    f"@ epoch {params.best_valid_epoch})"
+                )
                 # device memory observability (reference logs
                 # cuda.max_memory_allocated each validation, pretrain.py:565)
                 try:

@@ -291,9 +291,21 @@ class DataLoader:
                 process_index, process_count = 0, 1
         self.process_index = process_index
         self.process_count = process_count
+        self._consumed = 0  # batches yielded in the current epoch
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        self._consumed = 0
+
+    def state_dict(self) -> Dict[str, int]:
+        """Mid-epoch resumable position (reference persists the lhotse
+        sampler into checkpoints, ref checkpoint.py:40-108). Batch order is
+        deterministic per (seed, epoch), so (epoch, consumed) is sufficient."""
+        return {"epoch": self.epoch, "consumed": self._consumed}
+
+    def load_state_dict(self, state: Dict[str, int]) -> None:
+        self.epoch = int(state["epoch"])
+        self._consumed = int(state["consumed"])
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -301,7 +313,7 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
-        # contiguous per-process shard (equal sizes, truncating remainder)
+        # strided per-process shard (equal sizes, truncating remainder)
         per = n // self.process_count
         if per == 0:
             return idx  # tiny datasets: every process sees everything
@@ -322,6 +334,11 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        # mid-epoch resume: skip already-consumed batches (load_state_dict);
+        # the indices are deterministic per (seed, epoch) so the stream
+        # continues exactly where the checkpoint left off.
+        if self._consumed:
+            batches = batches[self._consumed :]
         if not batches:
             return
 
@@ -380,6 +397,10 @@ class DataLoader:
                     break
                 if isinstance(item, Exception):
                     raise item
+                # count BEFORE yielding: once the consumer holds the batch it
+                # is consumed, even if iteration stops right after (the
+                # trainer checkpoints between next() calls)
+                self._consumed += 1
                 yield item
         finally:
             stop.set()

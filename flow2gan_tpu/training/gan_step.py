@@ -94,8 +94,13 @@ def make_gan_steps(
     scales: GANLossScales = GANLossScales(),
     donate: bool = True,
     remat_rollout: bool = False,
+    lr_scale_g=None,
 ):
     """Returns (d_step, g_step), each (state, batch, rng) -> (state, metrics).
+
+    `lr_scale_g`: optional per-leaf lr multiplier pytree for the generator
+    (make_lr_scale_tree) — the reference's freeze_modules / lr_scale surface
+    (ref utils.py:69-138) applied to stage 2.
 
     `remat_rollout=True` rematerializes the generator rollout in the G step
     (jax.checkpoint) — trades recompute for memory on the unrolled 4-step
@@ -197,7 +202,9 @@ def make_gan_steps(
             state.params_g, state.params_d, batch, rng
         )
         lr = lr_g_fn(state.opt_g.step)
-        updates, opt_g = optimizer_g.update(grads, state.opt_g, state.params_g, lr=lr)
+        updates, opt_g = optimizer_g.update(
+            grads, state.opt_g, state.params_g, lr=lr, lr_scale=lr_scale_g
+        )
         params_g = optax.apply_updates(state.params_g, updates)
         metrics["lr_g"] = lr
         metrics["samples"] = jnp.asarray(batch["audio"].shape[0], jnp.float32)

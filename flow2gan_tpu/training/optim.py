@@ -494,3 +494,31 @@ def make_lr_scale_tree(params, rules: Optional[dict] = None, default: float = 1.
         return scale
 
     return jax.tree_util.tree_map_with_path(leaf_scale, params)
+
+
+def parse_lr_scale_rules(
+    lr_scale_rules: Optional[str] = None, freeze_modules: Optional[str] = None
+) -> Optional[dict]:
+    """Parse trainer flags into make_lr_scale_tree rules.
+
+    `lr_scale_rules`: "prefix=scale,prefix=scale" (e.g.
+    "cond_encoder=0.5,estimators_0/blocks_0=0.1").
+    `freeze_modules`: CSV of prefixes to freeze (scale 0.0) — the
+    reference's `--freeze-modules` surface (ref utils.py:100-116,
+    bin/pretrain.py:795). Returns None when both are empty so callers can
+    skip building the tree entirely.
+    """
+    rules = {}
+    for item in (lr_scale_rules or "").split(","):
+        item = item.strip()
+        if not item:
+            continue
+        prefix, _, scale = item.partition("=")
+        if not _:
+            raise ValueError(f"bad lr-scale rule {item!r}; want prefix=scale")
+        rules[prefix.strip()] = float(scale)
+    for prefix in (freeze_modules or "").split(","):
+        prefix = prefix.strip()
+        if prefix:
+            rules[prefix] = 0.0
+    return rules or None

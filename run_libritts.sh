@@ -5,6 +5,10 @@
 # local TPU devices, so the world-size/GPU-count plumbing disappears.
 #
 # Usage: ./run_libritts.sh --stage 1 --stop-stage 6 [--corpus-dir ...]
+#
+# Scale knobs default to the reference recipe (200-epoch FM / 20-epoch GAN,
+# run_libritts.sh:57-70 in the reference); override them to drive the same
+# pipeline at rehearsal scale (see results/minipipe/).
 
 set -euo pipefail
 
@@ -15,6 +19,17 @@ data_dir=data/manifests
 exp_dir=exp
 model_name=mel_24k_base
 n_timesteps_list="1 2 4"
+train_splits="train_clean_100,train_clean_360"
+valid_split="dev_clean"
+test_split="test_clean"
+fm_epochs=200
+fm_batch=512
+fm_avg=40
+gan_epochs=20
+gan_batch=64
+gan_avg=4
+fm_extra_args=""
+gan_extra_args=""
 
 while [[ $# -gt 0 ]]; do
   case "$1" in
@@ -24,80 +39,103 @@ while [[ $# -gt 0 ]]; do
     --data-dir) data_dir="$2"; shift 2;;
     --exp-dir) exp_dir="$2"; shift 2;;
     --model-name) model_name="$2"; shift 2;;
+    --n-timesteps-list) n_timesteps_list="$2"; shift 2;;
+    --train-splits) train_splits="$2"; shift 2;;
+    --valid-split) valid_split="$2"; shift 2;;
+    --test-split) test_split="$2"; shift 2;;
+    --fm-epochs) fm_epochs="$2"; shift 2;;
+    --fm-batch) fm_batch="$2"; shift 2;;
+    --fm-avg) fm_avg="$2"; shift 2;;
+    --gan-epochs) gan_epochs="$2"; shift 2;;
+    --gan-batch) gan_batch="$2"; shift 2;;
+    --gan-avg) gan_avg="$2"; shift 2;;
+    --fm-extra-args) fm_extra_args="$2"; shift 2;;
+    --gan-extra-args) gan_extra_args="$2"; shift 2;;
     *) echo "unknown option $1"; exit 1;;
   esac
 done
 
 log() { echo "$(date '+%Y-%m-%d %H:%M:%S') $*"; }
 
+# "train_clean_100,train_clean_360" -> comma-joined manifest paths
+train_manifests=""
+for s in ${train_splits//,/ }; do
+  m="$data_dir/libritts_recordings_${s}.jsonl.gz"
+  train_manifests="${train_manifests:+$train_manifests,}$m"
+done
+valid_manifest="$data_dir/libritts_recordings_${valid_split}.jsonl.gz"
+
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
   log "Stage 1: prepare manifests"
   python scripts/prepare_recordings_libritts.py \
     --corpus-dir "$corpus_dir" --output-dir "$data_dir"
   python scripts/prepare_test_list_libritts.py \
-    --corpus-dir "$corpus_dir" --split test-clean \
-    --output "$data_dir/test_clean_files.txt"
+    --corpus-dir "$corpus_dir" --split "${test_split//_/-}" \
+    --output "$data_dir/${test_split}_files.txt"
 fi
 
 if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
-  log "Stage 2: Flow-Matching pretraining (200 epochs, global batch 512)"
+  log "Stage 2: Flow-Matching pretraining ($fm_epochs epochs, global batch $fm_batch)"
   # reference: 200 epochs, batch 256 x 2 GPUs (run_libritts.sh:57-61)
   python -m flow2gan_tpu.bin.pretrain \
     --exp-dir "$exp_dir/fm" --model-name "$model_name" \
-    --train-recordings "$data_dir/libritts_recordings_train_clean_100.jsonl.gz,$data_dir/libritts_recordings_train_clean_360.jsonl.gz" \
-    --valid-recordings "$data_dir/libritts_recordings_dev_clean.jsonl.gz" \
-    --num-epochs 200 --batch-size 512 --base-lr 0.035 --lr-batches 7500 \
-    --duration 1.5
+    --train-recordings "$train_manifests" \
+    --valid-recordings "$valid_manifest" \
+    --num-epochs "$fm_epochs" --batch-size "$fm_batch" \
+    --base-lr 0.035 --lr-batches 7500 \
+    --duration 1.5 $fm_extra_args
 fi
 
 if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
-  log "Stage 3: average FM checkpoints (avg-40 of 200)"
+  log "Stage 3: average FM checkpoints (avg-$fm_avg of $fm_epochs)"
   python -m flow2gan_tpu.bin.save_averaged_model \
-    --exp-dir "$exp_dir/fm" --epoch 200 --avg 40 \
+    --exp-dir "$exp_dir/fm" --epoch "$fm_epochs" --avg "$fm_avg" \
     --output "$exp_dir/fm/averaged.ckpt"
 fi
 
 if [ $stage -le 4 ] && [ $stop_stage -ge 4 ]; then
   for n in $n_timesteps_list; do
-    log "Stage 4: GAN finetune, n_timesteps=$n (20 epochs, batch 64)"
+    log "Stage 4: GAN finetune, n_timesteps=$n ($gan_epochs epochs, batch $gan_batch)"
     python -m flow2gan_tpu.bin.finetune \
       --exp-dir "$exp_dir/gan_${n}step" --model-name "$model_name" \
       --generator-model-path "$exp_dir/fm/averaged.ckpt" \
-      --n-timesteps "$n" --num-epochs 20 --batch-size 64 \
-      --train-recordings "$data_dir/libritts_recordings_train_clean_100.jsonl.gz,$data_dir/libritts_recordings_train_clean_360.jsonl.gz" \
-      --valid-recordings "$data_dir/libritts_recordings_dev_clean.jsonl.gz"
-    log "Stage 4b: export averaged GAN generator (avg-4 of 20)"
+      --n-timesteps "$n" --num-epochs "$gan_epochs" --batch-size "$gan_batch" \
+      --train-recordings "$train_manifests" \
+      --valid-recordings "$valid_manifest" $gan_extra_args
+    log "Stage 4b: export averaged GAN generator (avg-$gan_avg of $gan_epochs)"
     python -m flow2gan_tpu.bin.save_averaged_model \
-      --exp-dir "$exp_dir/gan_${n}step" --epoch 20 --avg 4 --load-gan true \
+      --exp-dir "$exp_dir/gan_${n}step" --epoch "$gan_epochs" --avg "$gan_avg" \
+      --load-gan true \
       --output "$exp_dir/gan_${n}step/generator.ckpt"
   done
 fi
 
 if [ $stage -le 5 ] && [ $stop_stage -ge 5 ]; then
   for n in $n_timesteps_list; do
-    log "Stage 5: inference on test-clean, n_timesteps=$n"
+    log "Stage 5: inference on ${test_split}, n_timesteps=$n"
     python -m flow2gan_tpu.bin.infer \
       --model-name "$model_name" \
       --checkpoint "$exp_dir/gan_${n}step/generator.ckpt" \
-      --recordings "$data_dir/libritts_recordings_test_clean.jsonl.gz" \
+      --recordings "$data_dir/libritts_recordings_${test_split}.jsonl.gz" \
       --root-path "$corpus_dir" \
-      --output-dir "$exp_dir/gan_${n}step/test_clean_wavs" \
+      --output-dir "$exp_dir/gan_${n}step/${test_split}_wavs" \
       --n-timesteps "$n"
   done
 fi
 
 if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
+  test_dir="${test_split//_/-}"
   for n in $n_timesteps_list; do
     log "Stage 6: metrics, n_timesteps=$n"
     out="$exp_dir/gan_${n}step"
     python scripts/compute_pesq_visqol.py \
-      --ref-dir "$corpus_dir/test-clean" --gen-dir "$out/test_clean_wavs/test-clean" \
+      --ref-dir "$corpus_dir/$test_dir" --gen-dir "$out/${test_split}_wavs/$test_dir" \
       --output "$out/metrics_pesq.json" || true
     python scripts/compute_pitch_periodicity.py \
-      --ref-dir "$corpus_dir/test-clean" --gen-dir "$out/test_clean_wavs/test-clean" \
+      --ref-dir "$corpus_dir/$test_dir" --gen-dir "$out/${test_split}_wavs/$test_dir" \
       --output "$out/metrics_pitch.json" || true
     python scripts/compute_fsd.py \
-      --ref-dir "$corpus_dir/test-clean" --gen-dir "$out/test_clean_wavs/test-clean" \
+      --ref-dir "$corpus_dir/$test_dir" --gen-dir "$out/${test_split}_wavs/$test_dir" \
       --output "$out/metrics_fsd.json" || true
   done
 fi

@@ -133,3 +133,70 @@ def test_high_epoch_seed_no_overflow(wav_dir):
                           seed=42)
     audio, silence, name = ds.__getitem__(0, epoch=200)
     assert audio.shape == (12000,)
+
+
+def test_mid_epoch_resume_continues_stream(wav_dir):
+    """Loader state_dict/load_state_dict: resuming mid-epoch continues the
+    data stream where the checkpoint left off, not from the epoch start
+    (reference persists the lhotse sampler, checkpoint.py:40-108)."""
+    recs = scan_dir_to_recordings(wav_dir)
+    loader = build_data_loader(
+        recs, sampling_rate=24000, batch_size=1, train=True, duration=1.0, seed=3
+    )
+    loader.set_epoch(2)
+    full = [b["file_names"] for b in loader]
+    assert len(full) >= 3
+
+    loader.set_epoch(2)
+    it = iter(loader)
+    consumed = [next(it)["file_names"], next(it)["file_names"]]
+    snap = loader.state_dict()
+    del it
+    assert snap == {"epoch": 2, "consumed": 2}
+    assert consumed == full[:2]
+
+    resumed = build_data_loader(
+        recs, sampling_rate=24000, batch_size=1, train=True, duration=1.0, seed=3
+    )
+    resumed.load_state_dict(snap)
+    rest = [b["file_names"] for b in resumed]
+    assert rest == full[2:], "stream must continue, not replay"
+    # a following epoch starts fresh
+    resumed.set_epoch(3)
+    assert resumed.state_dict() == {"epoch": 3, "consumed": 0}
+    assert len([b for b in resumed]) == len(full)
+
+
+def test_sampler_snapshot_roundtrip_through_msgpack(wav_dir, tmp_path):
+    """The pretrain sampler snapshot (incl. python Random state) must survive
+    the msgpack checkpoint format bit-exactly."""
+    import random
+
+    from flow2gan_tpu.bin.pretrain import (
+        restore_sampler_state,
+        sampler_state_snapshot,
+    )
+    from flow2gan_tpu.training import checkpoint as ckpt
+
+    recs = scan_dir_to_recordings(wav_dir)
+    dl = build_data_loader(
+        recs, sampling_rate=24000, batch_size=1, train=True, duration=1.0, seed=3
+    )
+    dl.set_epoch(4)
+    it = iter(dl)
+    next(it)
+    del it
+    rng_py = random.Random(123)
+    rng_py.random()  # advance
+    snap = sampler_state_snapshot(4, [dl], rng_py)
+    expected_next = rng_py.random()
+
+    path = tmp_path / "ckpt.msgpack"
+    ckpt.save_checkpoint(
+        path, params={"w": np.zeros(1, np.float32)}, sampler_state=snap
+    )
+    loaded = ckpt.load_checkpoint(path)
+    epoch, rng2 = restore_sampler_state(loaded["sampler"], [dl])
+    assert epoch == 4
+    assert dl.state_dict() == {"epoch": 4, "consumed": 1}
+    assert rng2.random() == expected_next

@@ -254,3 +254,79 @@ def test_nonfinite_loss_guard():
     g2.check(float("nan"), 0.0, 1, lambda s: None)
     with pytest.raises(RuntimeError):  # streak limit even when protected
         g2.check(float("nan"), 0.0, 2, lambda s: None)
+
+
+def test_parse_lr_scale_rules():
+    from flow2gan_tpu.training.optim import parse_lr_scale_rules
+
+    assert parse_lr_scale_rules(None, None) is None
+    assert parse_lr_scale_rules("", "") is None
+    rules = parse_lr_scale_rules("enc=0.5, dec/c=2.0", "cond_encoder, estimators_0")
+    assert rules == {"enc": 0.5, "dec/c": 2.0, "cond_encoder": 0.0, "estimators_0": 0.0}
+    with pytest.raises(ValueError):
+        parse_lr_scale_rules("enc0.5", None)
+
+
+def test_frozen_subtree_does_not_move_in_train_step():
+    """--freeze-modules end-to-end: a full FM train step with a frozen
+    cond_encoder must leave every cond_encoder leaf bit-identical while the
+    rest of the model trains (reference freeze_modules surface,
+    ref utils.py:100-116 wired at bin/pretrain.py:795)."""
+    from flow2gan_tpu.models import build_generator, get_generator_config
+    from flow2gan_tpu.ops.mel import LogMelSpectrogram
+    from flow2gan_tpu.training.optim import make_lr_scale_tree, parse_lr_scale_rules
+    from flow2gan_tpu.training.train_step import init_train_state, make_fm_train_step
+
+    cfg = get_generator_config("mel_24k_tiny")
+    model = build_generator(cfg)
+    mel_fn = LogMelSpectrogram(
+        sampling_rate=cfg.sampling_rate,
+        n_fft=cfg.mel_n_fft,
+        hop_length=cfg.mel_hop_length,
+        n_mels=cfg.n_mels,
+    )
+    key = jax.random.PRNGKey(0)
+    B, L = 2, 2048
+    audio = 0.3 * jax.random.normal(key, (B, L), jnp.float32)
+    batch = {"audio": audio, "audio_lens": jnp.full((B,), L, jnp.int32)}
+    params = model.init(
+        {"params": key, "noise": key, "gate": key, "dropout": key},
+        mel_fn(audio), audio, batch["audio_lens"], train=True,
+    )["params"]
+
+    rules = parse_lr_scale_rules(None, "cond_encoder")
+    lr_scale = make_lr_scale_tree(params, rules)
+    opt = scaled_adam(clipping_scale=2.0)
+    step = make_fm_train_step(
+        model, opt, lr_fn=lambda b: eden2_lr(0.035, b, 7500.0), mel_fn=mel_fn,
+        lr_scale=lr_scale, donate=False,
+    )
+    state = init_train_state(params, opt)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    frozen_before = jax.tree.leaves(params["cond_encoder"])
+    frozen_after = jax.tree.leaves(new_state.params["cond_encoder"])
+    for a, b in zip(frozen_before, frozen_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    moved = [
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(params["estimators_0"]),
+            jax.tree.leaves(new_state.params["estimators_0"]),
+        )
+    ]
+    assert any(moved), "unfrozen branch params should have been updated"
+
+
+def test_trainer_parsers_expose_freeze_flags():
+    from flow2gan_tpu.bin.pretrain import get_parser as fm_parser
+    from flow2gan_tpu.bin.finetune import get_parser as gan_parser
+
+    a = fm_parser().parse_args(["--freeze-modules", "cond_encoder",
+                                "--lr-scale-rules", "estimators_0=0.5"])
+    assert a.freeze_modules == "cond_encoder"
+    assert a.lr_scale_rules == "estimators_0=0.5"
+    b = gan_parser().parse_args(["--freeze-modules", "cond_encoder"])
+    assert b.freeze_modules == "cond_encoder"
