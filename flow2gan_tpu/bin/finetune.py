@@ -428,6 +428,18 @@ def run(args):
                 jax.profiler.stop_trace()
                 logging.info(f"Profiler trace written to {params.profile_dir}")
 
+            def _capture_intermediates():
+                _, inter = generator.apply(
+                    {"params": state.params_g},
+                    mel_fn(device_batch["audio"]),
+                    n_timesteps=params.n_timesteps,
+                    method="infer",
+                    rngs={"noise": step_rng},
+                    capture_intermediates=True,
+                    mutable=["intermediates"],
+                )
+                return inter["intermediates"]
+
             guard.check(
                 loss_val,
                 float(
@@ -435,6 +447,7 @@ def run(args):
                 ),
                 params.batch_idx_train,
                 lambda suffix: save_epoch(f"bad{suffix}-{epoch}"),
+                intermediates_fn=_capture_intermediates,
             )
 
             if (

@@ -519,12 +519,28 @@ def run(args):
                     logging.warning(
                         f"Dominant grad: {name} share={prop:.2%} rms={grms:.3g}"
                     )
+            def _capture_intermediates():
+                # replay the forward on the offending batch with every
+                # module output tapped, to name where the inf was born
+                _, inter = model.apply(
+                    {"params": state.params},
+                    mel_fn(device_batch["audio"]),
+                    device_batch["audio"],
+                    device_batch["audio_lens"],
+                    train=False,
+                    rngs={"noise": step_rng},
+                    capture_intermediates=True,
+                    mutable=["intermediates"],
+                )
+                return inter["intermediates"]
+
             guard.check(
                 loss_val,
                 clip_scale_val,
                 params.batch_idx_train,
                 save_bad_model,
                 params_tree=state.params if params.inf_check else None,
+                intermediates_fn=_capture_intermediates if params.inf_check else None,
             )
 
             if (

@@ -2,36 +2,145 @@
 hook-based TensorDiagnostic subsystem (/root/reference/flow2gan/diagnostics.py).
 
 Instead of forward/backward hooks, we use flax's `capture_intermediates` to
-tap every module output in one pass, and accumulate per-dimension statistics
-(abs mean/max, rms, positive fraction, percentiles) over a few batches.
-Activated by `--print-diagnostics` in the trainers: runs 5 batches, prints
-the tables, exits (reference bin/pretrain.py:474-475,856-858).
+tap every module output in one pass, and accumulate statistics over a few
+batches. Activated by `--print-diagnostics` in the trainers: runs 5 batches,
+prints the tables, exits (reference bin/pretrain.py:474-475,856-858).
+
+Depth matches the reference's per-dimension analysis (diagnostics.py:46-334):
+for every dimension of every tagged tensor we accumulate abs / positive /
+value / rms / max / min element stats, an 11-point percentile summary of the
+per-position rms ("rms-sort"), a derived centered-rms ("stddev"), and — for
+dimensions of size <= 512 — the Gram matrix, whose eigen-spectrum is printed
+at report time (the Zipformer-lineage collapse/explosion debugging signal).
 """
 
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict
+from typing import Any, Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
+
+MAX_EIG_DIM = 512  # reference TensorDiagnosticOptions.max_eig_dim
+
+
+def _dim_is_summarized(size: int) -> bool:
+    # reference diagnostics.py:42-44: small dims print raw values
+    return size > 10 and size != 31
+
+
+def _percentile_str(values: np.ndarray, num: int = 10) -> str:
+    """11 order-statistic points like the reference (diagnostics.py:300-306)."""
+    v = np.sort(values.ravel())
+    n = v.size
+    pts = [v[(i * (n - 1)) // num] for i in range(num + 1)]
+    return "[" + " ".join("%.2g" % p for p in pts) + "]"
+
+
+class DimStats:
+    """Accumulators for one (tensor, dim) pair."""
+
+    def __init__(self, size: int, with_eigs: bool):
+        self.size = size
+        self.count = 0.0  # items summed per element (abs/value/rms/positive)
+        self.sum_abs = np.zeros(size, np.float64)
+        self.sum_val = np.zeros(size, np.float64)
+        self.sum_sq = np.zeros(size, np.float64)
+        self.sum_pos = np.zeros(size, np.float64)
+        self.max_v = np.full(size, -np.inf, np.float64)
+        self.min_v = np.full(size, np.inf, np.float64)
+        self.rms_sort = np.zeros(11, np.float64)
+        self.rms_sort_count = 0
+        self.gram: Optional[np.ndarray] = (
+            np.zeros((size, size), np.float64) if with_eigs else None
+        )
+        self.variable = False  # tensor shape changed on this dim across batches
+
+    def update(self, x: np.ndarray, dim: int) -> None:
+        if x.shape[dim] != self.size:
+            # e.g. a ragged time dim across batches; keep what we have
+            # (the reference keeps per-size buckets and disables eigs,
+            # diagnostics.py:218-224 — our trainers use fixed crops)
+            self.variable = True
+            return
+        m = np.moveaxis(x, dim, -1).reshape(-1, self.size).astype(np.float32)
+        self.count += m.shape[0]
+        self.sum_abs += np.abs(m).sum(axis=0, dtype=np.float64)
+        self.sum_val += m.sum(axis=0, dtype=np.float64)
+        self.sum_sq += (m.astype(np.float64) ** 2).sum(axis=0)
+        self.sum_pos += (m > 0).sum(axis=0).astype(np.float64)
+        self.max_v = np.maximum(self.max_v, m.max(axis=0))
+        self.min_v = np.minimum(self.min_v, m.min(axis=0))
+        # rms over THIS dim per position, 11 order statistics, averaged
+        # across updates (reference "rms-sort", diagnostics.py:75-81)
+        rms = np.sqrt((m.astype(np.float64) ** 2).mean(axis=1))
+        rms.sort()
+        n = rms.size
+        idx = np.minimum(np.arange(11) * n // 10, n - 1)
+        self.rms_sort += rms[idx]
+        self.rms_sort_count += 1
+        if self.gram is not None:
+            self.gram += (m.T @ m).astype(np.float64)
+
+    def report_lines(self, name: str, dim: int) -> List[str]:
+        if self.count == 0:
+            return []
+        cnt = self.count
+        kinds = {
+            "abs": self.sum_abs / cnt,
+            "positive": self.sum_pos / cnt,
+            "value": self.sum_val / cnt,
+            "rms": np.sqrt(self.sum_sq / cnt),
+            # centered rms: E[x^2] - E[x]^2 (reference derives "stddev" from
+            # the rms and value accumulators, diagnostics.py:232-246)
+            "stddev": np.sqrt(
+                np.maximum(self.sum_sq / cnt - (self.sum_val / cnt) ** 2, 0.0)
+            ),
+            "max": self.max_v,
+            "min": self.min_v,
+        }
+        if self.gram is not None:
+            try:
+                eigs = np.linalg.eigvalsh(self.gram / cnt)
+                kinds["eigs"] = np.sqrt(np.abs(eigs))  # magnitude scale
+            except np.linalg.LinAlgError:
+                pass
+        lines = []
+        suffix = " (size varied across batches)" if self.variable else ""
+        for kind, stats in kinds.items():
+            if _dim_is_summarized(stats.size):
+                body = f"percentiles: {_percentile_str(stats)}"
+            else:
+                body = "[" + " ".join("%.2g" % v for v in stats) + "]"
+            if kind in ("value", "rms", "stddev", "eigs"):
+                body += f", norm={np.sqrt((stats ** 2).sum()):.2g}"
+            body += f", mean={stats.mean():.3g}, rms={np.sqrt((stats ** 2).mean()):.3g}"
+            lines.append(f"module={name}, dim={dim}, size={self.size}, {kind} {body}")
+        if self.rms_sort_count:
+            rs = self.rms_sort / self.rms_sort_count
+            lines.append(
+                f"module={name}, dim={dim}, size={self.size}, rms-sort "
+                "[" + " ".join("%.2g" % v for v in rs) + "]"
+                f", mean={rs.mean():.3g}, rms={np.sqrt((rs ** 2).mean()):.3g}"
+            )
+        return lines
 
 
 class TensorStats:
-    """Accumulated stats for one tagged tensor (reference TensorDiagnostic,
-    diagnostics.py:120-334, simplified to the actionable subset)."""
+    """Accumulated stats for one tagged tensor: a cheap whole-tensor summary
+    plus per-dimension deep stats (reference TensorDiagnostic,
+    diagnostics.py:120-334)."""
 
-    def __init__(self):
+    def __init__(self, max_eig_dim: int = MAX_EIG_DIM):
+        self.max_eig_dim = max_eig_dim
         self.count = 0
         self.sum_abs = 0.0
         self.sum_sq = 0.0
         self.max_abs = 0.0
         self.pos = 0.0
         self.n = 0
-        # per-channel (last-dim) rms accumulators when the tensor has channels
-        self.chan_sq = None
-        self.chan_n = 0
+        self.dims: Dict[int, DimStats] = {}
 
     def update(self, x: np.ndarray):
         x = np.asarray(x, np.float32)
@@ -41,13 +150,14 @@ class TensorStats:
         self.max_abs = max(self.max_abs, float(np.abs(x).max(initial=0.0)))
         self.pos += float((x > 0).sum())
         self.n += x.size
-        if x.ndim >= 2 and x.shape[-1] <= 2048:
-            sq = (x.astype(np.float64) ** 2).reshape(-1, x.shape[-1]).sum(axis=0)
-            if self.chan_sq is None:
-                self.chan_sq = sq
-            elif self.chan_sq.shape == sq.shape:
-                self.chan_sq += sq
-            self.chan_n += x.size // x.shape[-1]
+        if x.ndim == 0:
+            return
+        for d in range(x.ndim):
+            if d not in self.dims:
+                self.dims[d] = DimStats(
+                    x.shape[d], with_eigs=x.shape[d] <= self.max_eig_dim
+                )
+            self.dims[d].update(x, d)
 
     def summary(self) -> str:
         if self.n == 0:
@@ -55,16 +165,16 @@ class TensorStats:
         mean_abs = self.sum_abs / self.n
         rms = (self.sum_sq / self.n) ** 0.5
         pos = self.pos / self.n
-        s = f"abs-mean={mean_abs:.3g} rms={rms:.3g} max-abs={self.max_abs:.3g} pos-frac={pos:.2f}"
-        if self.chan_sq is not None and self.chan_n > 0:
-            crms = np.sqrt(self.chan_sq / self.chan_n)
-            pct = np.percentile(crms, [0, 25, 50, 75, 100])
-            s += (
-                " chan-rms[p0,p25,p50,p75,p100]=["
-                + ",".join(f"{v:.3g}" for v in pct)
-                + "]"
-            )
-        return s
+        return (
+            f"abs-mean={mean_abs:.3g} rms={rms:.3g} "
+            f"max-abs={self.max_abs:.3g} pos-frac={pos:.2f}"
+        )
+
+    def report_lines(self, name: str) -> List[str]:
+        lines = []
+        for d in sorted(self.dims):
+            lines.extend(self.dims[d].report_lines(name, d))
+        return lines
 
 
 class DiagnosticsCollector:
@@ -103,6 +213,8 @@ class DiagnosticsCollector:
     def print_diagnostics(self, log=logging.info):
         for name in sorted(self.stats):
             log(f"Diagnostics [{name}]: {self.stats[name].summary()}")
+            for line in self.stats[name].report_lines(name):
+                log(line)
 
 
 class ScalarDiagnostic:

@@ -56,7 +56,12 @@ class NonfiniteLossGuard:
         self.dumped = False
 
     def check(self, loss_val: float, clip_scale: float, batch_idx: int,
-              save_bad_model, params_tree=None) -> None:
+              save_bad_model, params_tree=None, intermediates_fn=None) -> None:
+        """`intermediates_fn`: optional zero-arg callable returning the
+        'intermediates' collection of a capture_intermediates forward on the
+        offending batch — used to name the module where the inf was BORN
+        (reference fwd-hook localization, hooks.py:27-96), not just which
+        param/grad it landed in."""
         import numpy as np
 
         from flow2gan_tpu.training.err import raise_nonfinite_loss_error
@@ -76,6 +81,12 @@ class NonfiniteLossGuard:
             bad = find_nonfinite_leaves(params_tree)
             if bad:
                 logging.warning(f"Non-finite params at: {bad}")
+        if intermediates_fn is not None:
+            try:
+                for name in find_nonfinite_module_outputs(intermediates_fn()):
+                    logging.warning(f"The output of module {name} is not finite")
+            except Exception as e:  # diagnostics must not mask the error path
+                logging.warning(f"inf-check forward replay failed: {e}")
         # clip_scale == 0 -> optimizer provably zeroed the grads; otherwise
         # the update was applied with non-finite values: abort immediately
         if clip_scale != 0.0 or self.streak >= self.max_streak:
@@ -92,6 +103,32 @@ def find_nonfinite_leaves(tree, limit: int = 10):
     for path, leaf in flat:
         if not np.isfinite(np.asarray(leaf)).all():
             bad.append("/".join(str(getattr(k, "key", "?")) for k in path))
+            if len(bad) >= limit:
+                break
+    return bad
+
+
+def find_nonfinite_module_outputs(intermediates, limit: int = 20):
+    """Scan a flax 'intermediates' collection (capture_intermediates=True)
+    for module outputs containing inf/NaN; returns module paths in forward
+    capture order, so the FIRST entry is where the non-finiteness was born
+    (the reference warns per-module via forward hooks, hooks.py:27-63)."""
+    import numpy as np
+
+    bad = []
+    flat = jax.tree_util.tree_flatten_with_path(intermediates)[0]
+    for path, leaf in flat:
+        if not hasattr(leaf, "shape"):
+            continue
+        if not np.isfinite(np.asarray(leaf)).all():
+            name = "/".join(
+                str(getattr(k, "key", getattr(k, "idx", "?"))) for k in path
+            )
+            for suffix in ("/__call__/0", "/__call__"):
+                if name.endswith(suffix):
+                    name = name[: -len(suffix)]
+                    break
+            bad.append(name)
             if len(bad) >= limit:
                 break
     return bad

@@ -176,3 +176,86 @@ def test_scalar_diagnostics_perturb():
     y1 = net.apply({"params": variables["params"]}, x)
     np.testing.assert_allclose(np.asarray(y1), float(_ := net.apply(
         {"params": variables2["params"]}, x)), rtol=1e-6)
+
+
+def test_per_dim_diagnostics_and_eigs():
+    """Reference-depth per-dim stats (diagnostics.py:46-334): percentile
+    tables for every stat kind and an eigen-spectrum for dims <= 512."""
+    from flow2gan_tpu.training.diagnostics import TensorStats
+
+    rng = np.random.RandomState(0)
+    # rank-1 dominated data: eigenvalue spread must show up
+    u = rng.randn(64, 1) @ rng.randn(1, 32) + 0.01 * rng.randn(64, 32)
+    s = TensorStats()
+    s.update(u.astype(np.float32))
+    s.update(u.astype(np.float32))
+    lines = s.report_lines("t")
+    kinds = {"abs", "positive", "value", "rms", "stddev", "max", "min", "eigs"}
+    for kind in kinds:
+        assert any(f" {kind} " in l for l in lines), (kind, lines[:3])
+    assert any("rms-sort" in l for l in lines)
+    # dim=1 has size 32 -> summarized percentiles
+    eig_line = [l for l in lines if " eigs " in l and "dim=1" in l][0]
+    assert "percentiles:" in eig_line and "norm=" in eig_line
+    # rank-1 data: top eig >> median eig
+    import re
+
+    pts = [float(x) for x in re.search(r"percentiles: \[([^\]]*)\]", eig_line).group(1).split()]
+    assert pts[-1] > 50 * max(pts[5], 1e-9)
+
+
+def test_diagnostics_small_dim_prints_raw_values():
+    from flow2gan_tpu.training.diagnostics import TensorStats
+
+    s = TensorStats()
+    s.update(np.ones((3, 4), np.float32))
+    lines = s.report_lines("t")
+    abs_line = [l for l in lines if "dim=0" in l and " abs " in l][0]
+    assert "percentiles" not in abs_line  # size 3 <= 10: raw list
+
+
+def test_nonfinite_module_localization():
+    """An inf born in an intermediate activation is attributed to the module
+    that produced it (reference hooks.py:27-96 fwd-hook warnings)."""
+    import flax.linen as nn
+
+    from flow2gan_tpu.training.hooks import find_nonfinite_module_outputs
+
+    class Inner(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return x / 0.0  # born here
+
+    class Outer(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.Dense(4, name="ok_layer")(x)
+            bad = Inner(name="bad_layer")(h)
+            return nn.Dense(4, name="after")(bad)
+
+    m = Outer()
+    x = jnp.ones((2, 4))
+    v = m.init(jax.random.PRNGKey(0), x)
+    _, inter = m.apply(v, x, capture_intermediates=True, mutable=["intermediates"])
+    bad = find_nonfinite_module_outputs(inter["intermediates"])
+    assert any("bad_layer" in b for b in bad), bad
+    assert not any("ok_layer" in b for b in bad), bad
+
+
+def test_guard_calls_intermediates_fn(caplog):
+    from flow2gan_tpu.training.hooks import NonfiniteLossGuard
+
+    g = NonfiniteLossGuard()
+    calls = []
+
+    def intermediates_fn():
+        calls.append(1)
+        return {"mod": {"__call__": (jnp.asarray([jnp.inf]),)}}
+
+    import logging as _logging
+
+    with caplog.at_level(_logging.WARNING):
+        g.check(float("nan"), 0.0, 1, lambda s: None,
+                intermediates_fn=intermediates_fn)
+    assert calls == [1]
+    assert any("output of module mod is not finite" in r.message for r in caplog.records)
