@@ -35,7 +35,6 @@ def measure(compute_dtype, batch=16, seconds=1.0, n_iters=100, n_timesteps=1):
 
     cfg = get_generator_config("mel_24k_base")
     cfg["compute_dtype"] = compute_dtype
-    cfg["use_pallas_istft"] = True  # fused iSTFT kernel
     model = build_generator(cfg)
     rng = jax.random.PRNGKey(0)
     frames = 1 + int(seconds * cfg.sampling_rate) // cfg.mel_hop_length  # 94

@@ -153,10 +153,7 @@ def get_model(
     if model_name is None:
         model_name = "mel_24k_base"
     cfg = get_generator_config(model_name)
-    if jax.default_backend() == "tpu":
-        # fused Pallas iSTFT on supported (128-aligned) hops; bitwise-safe
-        # fallback to the XLA path elsewhere
-        cfg["use_pallas_istft"] = True
+    # Pallas iSTFT defaults to "auto" (on for TPU backends, 128-aligned hops)
     module = build_generator(cfg)
 
     if hf_model_name is not None and checkpoint is None:

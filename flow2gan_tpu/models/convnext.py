@@ -15,7 +15,7 @@ TPU-first re-design of /root/reference/flow2gan/models/modules.py:419-721:
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,58 @@ def sinusoidal_pos_emb(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.n
     return jnp.concatenate([jnp.sin(arg), jnp.cos(arg)], axis=-1)
 
 
+class DepthwiseConv1d(nn.Module):
+    """Depthwise k-tap conv with two lowerings, identical params to
+    `nn.Conv(features=C, kernel_size=(k,), feature_group_count=C)` so
+    checkpoints are interchangeable.
+
+    impl="conv": jax.lax conv (XLA's convolution op).
+    impl="stencil": unrolled shift-multiply-add over the k taps — pure
+    elementwise work that XLA fuses into the consumer (e.g. the BiasNorm
+    variance reduce that follows in ConvNeXtBlock), removing the standalone
+    convolution op and its HBM round-trip. f32 accumulation either way.
+    impl="auto": stencil on TPU backends, conv elsewhere.
+    """
+
+    channels: int
+    kernel_size: int = 7
+    dtype: Optional[jnp.dtype] = None
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", _KERNEL_INIT, (k, 1, self.channels), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        impl = self.impl
+        if impl == "auto":
+            impl = "stencil" if jax.default_backend() == "tpu" else "conv"
+        if impl == "conv":
+            dtype = self.dtype or x.dtype
+            out = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel[:, 0, :][:, None, :].astype(dtype),
+                window_strides=(1,),
+                padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=self.channels,
+            )
+            return out + bias.astype(out.dtype)
+        # stencil: out[t] = sum_j w[j] * x[t + j - k//2], zero-padded edges
+        left = (k - 1) // 2
+        right = k - 1 - left
+        xp = jnp.pad(x, ((0, 0), (left, right), (0, 0))).astype(jnp.float32)
+        T = x.shape[1]
+        acc = bias[None, None, :].astype(jnp.float32)
+        w = kernel[:, 0, :]  # (k, C)
+        out = acc + sum(
+            xp[:, j : j + T, :] * w[j][None, None, :] for j in range(k)
+        )
+        return out.astype(self.dtype or x.dtype)
+
+
 class ConvNeXtBlock(nn.Module):
     """depthwise k7 conv -> BiasNorm -> (+cond) -> (×(1+time)) -> MLP -> +res.
 
@@ -62,6 +114,7 @@ class ConvNeXtBlock(nn.Module):
     use_time: bool = False
     use_residual_scale: bool = True
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
+    dwconv_impl: str = "conv"  # "conv" | "stencil" | "auto" (see DepthwiseConv1d)
 
     @nn.compact
     def __call__(
@@ -75,13 +128,11 @@ class ConvNeXtBlock(nn.Module):
         residual = x
         if mask is not None:
             x = x * mask.astype(x.dtype)
-        x = nn.Conv(
+        x = DepthwiseConv1d(
             self.channels,
-            (self.kernel_size,),
-            padding="SAME",
-            feature_group_count=self.channels,
-            kernel_init=_KERNEL_INIT,
+            kernel_size=self.kernel_size,
             dtype=self.dtype,
+            impl=self.dwconv_impl,
             name="dwconv",
         )(x)
         x = BiasNorm(self.channels, name="norm")(x, train=train)
@@ -126,6 +177,7 @@ class CondEncoder(nn.Module):
     num_layers: int = 4
     use_residual_scale: bool = True
     dtype: Optional[jnp.dtype] = None
+    dwconv_impl: str = "conv"
 
     @nn.compact
     def __call__(
@@ -149,6 +201,7 @@ class CondEncoder(nn.Module):
                 kernel_size=self.conv_kernel_size,
                 use_residual_scale=self.use_residual_scale,
                 dtype=self.dtype,
+                dwconv_impl=self.dwconv_impl,
                 name=f"blocks_{i}",
             )(x, mask=mask, train=train)
         return x
@@ -171,6 +224,7 @@ class ConvNeXtDecoder(nn.Module):
     use_residual_scale: bool = True
     use_t: bool = True
     dtype: Optional[jnp.dtype] = None
+    dwconv_impl: str = "conv"
 
     @nn.compact
     def __call__(
@@ -223,6 +277,7 @@ class ConvNeXtDecoder(nn.Module):
                 use_time=self.use_t,
                 use_residual_scale=self.use_residual_scale,
                 dtype=self.dtype,
+                dwconv_impl=self.dwconv_impl,
                 name=f"blocks_{i}",
             )(x, cond=cond, time_embed=time_embed, mask=mask, train=train)
 
@@ -251,7 +306,13 @@ class AudioConvNeXt(nn.Module):
     use_residual_scale: bool = True
     use_t: bool = True
     dtype: Optional[jnp.dtype] = None
-    use_pallas_istft: bool = False  # fused VMEM iSTFT (128-aligned hops only)
+    # Pallas kernel switches: True / False / "auto" (= on when running on a
+    # TPU backend and the (n_fft, hop) pair is 128-aligned; bitwise-safe XLA
+    # fallback elsewhere). "auto" keeps every entry point — trainers, infer
+    # CLIs, api.get_model, bench — on the same kernel config.
+    use_pallas_istft: Any = "auto"
+    use_pallas_stft: Any = False  # off by default pending a measured win
+    dwconv_impl: str = "conv"
 
     def setup(self):
         assert self.cond_hop_length % self.hop_length == 0, (
@@ -270,6 +331,7 @@ class AudioConvNeXt(nn.Module):
             use_residual_scale=self.use_residual_scale,
             use_t=self.use_t,
             dtype=self.dtype,
+            dwconv_impl=self.dwconv_impl,
         )
 
     def upsample_cond(self, cond: jnp.ndarray, fft_frames: int) -> jnp.ndarray:
@@ -287,6 +349,11 @@ class AudioConvNeXt(nn.Module):
             cond = jnp.pad(cond, ((0, 0), (0, fft_frames - cur), (0, 0)))
         return cond
 
+    def _pallas_enabled(self, flag, supported: bool) -> bool:
+        if flag == "auto":
+            flag = jax.default_backend() == "tpu"
+        return bool(flag) and supported
+
     def __call__(
         self,
         audio: jnp.ndarray,
@@ -296,7 +363,14 @@ class AudioConvNeXt(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         length = audio.shape[-1]
-        spec = stft(audio, self.n_fft, self.hop_length)  # (B, T_f, F) complex
+        from flow2gan_tpu.ops import pallas_stft as _pstft
+
+        if self._pallas_enabled(
+            self.use_pallas_stft, _pstft.supported(self.n_fft, self.hop_length)
+        ):
+            spec = _pstft.stft_pallas(audio, self.n_fft, self.hop_length)
+        else:
+            spec = stft(audio, self.n_fft, self.hop_length)  # (B, T_f, F) complex
         x = spec_to_real(spec)  # (B, T_f, n_fft + 2)
         fft_frames = x.shape[1]
 
@@ -312,12 +386,13 @@ class AudioConvNeXt(nn.Module):
             x = x * mask
 
         out_spec = real_to_spec(x)
-        if self.use_pallas_istft:
-            from flow2gan_tpu.ops.pallas_istft import istft_pallas, supported
+        from flow2gan_tpu.ops.pallas_istft import istft_pallas, supported
 
-            if supported(self.n_fft, self.hop_length):
-                return istft_pallas(
-                    out_spec, self.n_fft, self.hop_length, length=length
-                )
+        if self._pallas_enabled(
+            self.use_pallas_istft, supported(self.n_fft, self.hop_length)
+        ):
+            return istft_pallas(
+                out_spec, self.n_fft, self.hop_length, length=length
+            )
         audio_out = istft(out_spec, self.n_fft, self.hop_length, length=length)
         return audio_out

@@ -61,7 +61,9 @@ class BaseAudioGenerator(nn.Module):
     loss_scale_max: float = 1e2
     branch_dropout: float = 0.05
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16'; params stay f32
-    use_pallas_istft: bool = False  # fused iSTFT kernel where hop is 128-aligned
+    use_pallas_istft: Any = "auto"  # fused iSTFT kernel (see AudioConvNeXt)
+    use_pallas_stft: Any = False  # fused STFT kernel (off pending measured win)
+    dwconv_impl: str = "conv"  # "stencil" fuses the k7 depthwise into XLA elementwise
 
     @property
     def num_branches(self) -> int:
@@ -84,6 +86,7 @@ class BaseAudioGenerator(nn.Module):
                 num_layers=self.cond_enc_num_layers,
                 use_residual_scale=self.use_residual_scale,
                 dtype=dtype,
+                dwconv_impl=self.dwconv_impl,
             )
 
         self.estimators = [
@@ -102,6 +105,8 @@ class BaseAudioGenerator(nn.Module):
                 use_residual_scale=self.use_residual_scale,
                 dtype=dtype,
                 use_pallas_istft=self.use_pallas_istft,
+                use_pallas_stft=self.use_pallas_stft,
+                dwconv_impl=self.dwconv_impl,
                 name=f"estimators_{i}",
             )
             for i in range(self.num_branches)

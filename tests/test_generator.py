@@ -263,3 +263,23 @@ def test_compute_dtype_bf16_inside():
     assert any(
         getattr(x, "dtype", None) == jnp.bfloat16 for x in leaves
     ), "no bf16 activations found"
+
+
+def test_dwconv_stencil_matches_conv():
+    """DepthwiseConv1d's fusable stencil lowering is numerically the
+    convolution (same params, same math, f32 accumulation)."""
+    import numpy as np
+
+    from flow2gan_tpu.models import build_generator, get_generator_config
+
+    cfg = dict(get_generator_config("mel_24k_tiny"))
+    rng = jax.random.PRNGKey(0)
+    cond = jnp.asarray(
+        np.random.RandomState(0).randn(2, cfg["n_mels"], 16), jnp.float32
+    )
+    m_conv = build_generator({**cfg, "dwconv_impl": "conv"})
+    m_sten = build_generator({**cfg, "dwconv_impl": "stencil"})
+    v = m_conv.init({"params": rng, "noise": rng}, cond, n_timesteps=2, method="infer")
+    a = m_conv.apply(v, cond, n_timesteps=2, method="infer", rngs={"noise": rng})
+    b = m_sten.apply(v, cond, n_timesteps=2, method="infer", rngs={"noise": rng})
+    assert float(jnp.abs(a - b).max()) < 1e-5
