@@ -27,13 +27,14 @@ import jax.numpy as jnp
 BASELINE_XRT_GPU_1STEP = 851.67  # reference paper speed table (BASELINE.md)
 
 
-def measure(compute_dtype, batch=16, seconds=1.0, n_iters=100, n_timesteps=1):
+def measure(compute_dtype, batch=16, seconds=1.0, n_iters=100, n_timesteps=1,
+            model_name="mel_24k_base"):
     """n_iters=100: the per-call cost only reaches steady state once the
     enqueue pipeline is deep — 20 iters under-amortized the fence + ramp-up
     and reported ~25% low (measured r2: 3878 -> 5226 xRT, same kernels)."""
     from flow2gan_tpu.models import build_generator, get_generator_config
 
-    cfg = get_generator_config("mel_24k_base")
+    cfg = get_generator_config(model_name)
     cfg["compute_dtype"] = compute_dtype
     model = build_generator(cfg)
     rng = jax.random.PRNGKey(0)
@@ -88,6 +89,9 @@ def main():
     multi = {
         f"{n}step": round(measure(best_d, n_timesteps=n), 1) for n in (2, 4)
     }
+    xrt_44k = round(
+        measure(best_d, model_name="mel_44k_128band_512x_base"), 1
+    )
     result = {
         "metric": "xrt_24k_1step_b16",
         "value": round(xrt, 2),
@@ -96,7 +100,8 @@ def main():
         "config": (
             f"compute_dtype={dtype}, "
             f"1step={ {k: round(v, 1) for k, v in results.items()} }, "
-            f"multi={multi} (ref GPU: 449.3 2step / 228.5 4step)"
+            f"multi={multi}, 44k_1step={xrt_44k} "
+            f"(ref GPU: 449.3 2step / 228.5 4step)"
         ),
     }
     print(json.dumps(result))
