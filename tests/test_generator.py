@@ -283,3 +283,27 @@ def test_dwconv_stencil_matches_conv():
     a = m_conv.apply(v, cond, n_timesteps=2, method="infer", rngs={"noise": rng})
     b = m_sten.apply(v, cond, n_timesteps=2, method="infer", rngs={"noise": rng})
     assert float(jnp.abs(a - b).max()) < 1e-5
+
+
+def test_native_rate_cond_projection_commutes():
+    """Decoder cond projections run at the native cond frame rate and
+    nearest-repeat the result — bit-identical to projecting repeated rows
+    (reference upsamples first, modules.py:668-680), minus the redundant
+    FLOPs on the low-hop branches."""
+    import numpy as np
+
+    from flow2gan_tpu.models.convnext import ConvNeXtDecoder
+
+    kw = dict(in_channels=16, out_channels=16, channels=32, cond_channels=24,
+              time_embed_channels=32, num_layers=2)
+    dec4 = ConvNeXtDecoder(**kw, cond_upsample_factor=4)
+    dec1 = ConvNeXtDecoder(**kw, cond_upsample_factor=1)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 13, 16), jnp.float32)
+    cnat = jnp.asarray(np.random.RandomState(2).randn(2, 3, 24), jnp.float32)
+    t = jnp.asarray([0.3, 0.7], jnp.float32)
+    v = dec4.init(jax.random.PRNGKey(3), x, cnat, t)
+    y_native = dec4.apply(v, x, cnat, t)
+    # reference-order computation: repeat to the fft rate, zero-pad, project
+    cup = jnp.pad(jnp.repeat(cnat, 4, axis=1), ((0, 0), (0, 1), (0, 0)))
+    y_upsampled = dec1.apply(v, x, cup, t)
+    np.testing.assert_array_equal(np.asarray(y_native), np.asarray(y_upsampled))
