@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 from pathlib import Path
 
 import numpy as np
@@ -76,6 +77,12 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
 
 def main():
     args = get_parser().parse_args()
+    # Fail fast when the model must come from the Hub and there is no
+    # cached copy: HF_HUB_OFFLINE skips the 5x-retry network probing
+    # (~2 min of backoff per from_pretrained on an egress-less host).
+    if not os.path.isdir(args.model_path):
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
     try:
         from transformers import Wav2Vec2FeatureExtractor, Wav2Vec2Model
     except ImportError as e:
