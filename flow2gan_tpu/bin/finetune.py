@@ -59,6 +59,7 @@ from flow2gan_tpu.training.optim import (
 from flow2gan_tpu.utils import (
     AttributeDict,
     MetricsTracker,
+    enable_compilation_cache,
     setup_logger,
     str2bool,
     to_float_tuple,
@@ -149,6 +150,7 @@ def run(args):
         rank=jax.process_index(),
         world_size=jax.process_count(),
     )
+    enable_compilation_cache()
     logging.info("GAN fine-tuning started")
     logging.info(params)
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flow2gan_tpu.data.audio_io import read_wav, write_wav
 from flow2gan_tpu.models import build_generator, get_generator_config
 from flow2gan_tpu.ops.mel import LogMelSpectrogram
-from flow2gan_tpu.utils import setup_logger, str2bool
+from flow2gan_tpu.utils import enable_compilation_cache, setup_logger, str2bool
 
 
 def get_parser():
@@ -113,6 +113,7 @@ def main():
     args = get_parser().parse_args()
     args.output_dir.mkdir(parents=True, exist_ok=True)
     setup_logger(f"{args.output_dir}/log/log-infer-dir")
+    enable_compilation_cache()
     logging.info(vars(args))
 
     from flow2gan_tpu.api import get_model

@@ -59,6 +59,7 @@ from flow2gan_tpu.training.train_step import (
 from flow2gan_tpu.utils import (
     AttributeDict,
     MetricsTracker,
+    enable_compilation_cache,
     plot_feature,
     setup_logger,
     str2bool,
@@ -230,6 +231,7 @@ def run(args):
         rank=jax.process_index(),
         world_size=jax.process_count(),
     )
+    enable_compilation_cache()
     logging.info("Training started")
     logging.info(params)
 

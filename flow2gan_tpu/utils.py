@@ -159,6 +159,55 @@ def setup_logger(
         logging.getLogger("").addHandler(console)
 
 
+def enable_compilation_cache(cache_dir: Union[str, None] = None) -> str | None:
+    """Enable JAX's persistent XLA compilation cache for CLI entry points.
+
+    The reference leans on CUDA-side caches (cuDNN autotune, torch
+    kernel caches) that persist implicitly; the TPU-native equivalent is
+    XLA's on-disk executable cache, which is off by default. Every bin
+    entry point calls this so repeat invocations (e.g. the per-step-count
+    inference passes in run_libritts.sh stages 5-6, ref run_libritts.sh:25-42)
+    can skip recompiling identical programs.
+
+    OPT-IN: set $FLOW2GAN_COMPILATION_CACHE to a directory (or "1" for
+    ~/.cache/flow2gan_tpu/xla), or pass `cache_dir`. Off by default
+    because on a tunneled/proxied TPU backend, per-entry executable
+    deserialization round-trips can cost more than the compile they save
+    — measure on your deployment before enabling fleet-wide. Entry
+    thresholds are tunable via $FLOW2GAN_CACHE_MIN_COMPILE_SECS (default
+    1.0) and $FLOW2GAN_CACHE_MIN_ENTRY_BYTES (default 0) so small helper
+    programs can be kept out of the cache.
+
+    Returns the directory used, or None when disabled or unsupported.
+    """
+    if cache_dir is None:
+        cache_dir = os.environ.get("FLOW2GAN_COMPILATION_CACHE", "")
+    if not cache_dir or cache_dir.lower() in ("0", "off", "false", "none"):
+        return None
+    if cache_dir.lower() in ("1", "on", "true"):
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "flow2gan_tpu", "xla"
+        )
+    import jax
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ.get("FLOW2GAN_CACHE_MIN_COMPILE_SECS", "1.0")),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes",
+            int(os.environ.get("FLOW2GAN_CACHE_MIN_ENTRY_BYTES", "0")),
+        )
+    except Exception as e:  # unsupported backend/flag — run uncached
+        logging.warning(f"Compilation cache disabled ({e})")
+        return None
+    logging.info(f"Persistent compilation cache: {cache_dir}")
+    return cache_dir
+
+
 class MetricsTracker(collections.defaultdict):
     """Sample-weighted metric accumulator; reference utils.py:273-344.
 

@@ -259,3 +259,27 @@ def test_guard_calls_intermediates_fn(caplog):
                 intermediates_fn=intermediates_fn)
     assert calls == [1]
     assert any("output of module mod is not finite" in r.message for r in caplog.records)
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from flow2gan_tpu.utils import enable_compilation_cache
+
+    # off by default (opt-in), and explicit "off" also disables
+    monkeypatch.delenv("FLOW2GAN_COMPILATION_CACHE", raising=False)
+    assert enable_compilation_cache() is None
+    monkeypatch.setenv("FLOW2GAN_COMPILATION_CACHE", "off")
+    assert enable_compilation_cache() is None
+
+    # explicit dir: enabled, and a compile populates it
+    monkeypatch.setenv("FLOW2GAN_CACHE_MIN_COMPILE_SECS", "0")
+    cache_dir = tmp_path / "xla-cache"
+    assert enable_compilation_cache(str(cache_dir)) == str(cache_dir)
+    try:
+        f = jax.jit(lambda x: (x * 2.0).sum())
+        f(jnp.ones((8, 8))).block_until_ready()
+        assert any(cache_dir.iterdir())
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
