@@ -45,6 +45,14 @@ def main():
     if args.use_averaged_model:
         start = args.exp_dir / f"epoch-{args.epoch - args.avg}.ckpt"
         end = args.exp_dir / f"epoch-{args.epoch}.ckpt"
+        if not start.exists():
+            raise SystemExit(
+                f"Windowed averaging over ({start}, {end}] needs the start "
+                f"checkpoint, which does not exist (epoch {args.epoch} with "
+                f"--avg {args.avg} reaches before the first saved epoch). "
+                f"Use a smaller --avg, or --use-averaged-model false for a "
+                f"plain average of the last {args.avg} epochs."
+            )
         logging.info(f"Windowed running-average over ({start}, {end}]")
         tree = ckpt.average_checkpoints_with_averaged_model(start, end)
     else:
