@@ -267,9 +267,11 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
 
     from flow2gan_tpu.utils import enable_compilation_cache
 
-    # off by default (opt-in), and explicit "off" also disables
+    # on by default (resolves to the home cache dir); "off" disables
     monkeypatch.delenv("FLOW2GAN_COMPILATION_CACHE", raising=False)
-    assert enable_compilation_cache() is None
+    default_dir = enable_compilation_cache()
+    assert default_dir is not None and default_dir.endswith("xla")
+    jax.config.update("jax_compilation_cache_dir", None)
     monkeypatch.setenv("FLOW2GAN_COMPILATION_CACHE", "off")
     assert enable_compilation_cache() is None
 
