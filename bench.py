@@ -80,8 +80,8 @@ def measure(compute_dtype, batch=16, seconds=1.0, n_iters=100, n_timesteps=1,
 def main():
     # Host CPU contention throttles the enqueue pipeline and silently
     # halves reported xRT (measured: 44k 2.3k busy vs 5.1k idle) — flag it.
-    load = os.getloadavg()[0]
-    if load > 1.5:
+    load = os.getloadavg()[0] / max(os.cpu_count() or 1, 1)
+    if load > 0.5:
         print(
             f"WARNING: host loadavg {load:.1f} — numbers will read low; "
             f"rerun on an idle host",

@@ -48,7 +48,9 @@ def main():
     for n in args.steps:
         read_metrics(f"gan_{n}step", args.exp_dir / f"gan_{n}step")
     for spec in args.extra:
-        name, _, path = spec.partition(":")
+        name, sep, path = spec.partition(":")
+        if not sep or not Path(path).is_dir():
+            raise SystemExit(f"--extra expects name:<existing-dir>, got {spec!r}")
         read_metrics(name, Path(path))
 
     (args.output_dir / "summary.json").write_text(
@@ -62,11 +64,18 @@ def main():
     for name, row in summary.items():
         pq = row.get("pesq", {})
         pt = row.get("pitch", {})
+
+        def v(d, key):
+            # metrics JSONs use null for unavailable metrics, so .get's
+            # default alone doesn't cover it
+            x = d.get(key)
+            return float("nan") if x is None else x
+
         lines.append(
-            f"| {name} | {pq.get('mrstft', float('nan')):.3f} "
-            f"| {pt.get('pitch_rmse_cents', float('nan')):.0f} "
-            f"| {pt.get('periodicity_rmse', float('nan')):.3f} "
-            f"| {pt.get('vuv_f1', float('nan')):.3f} |"
+            f"| {name} | {v(pq, 'mrstft'):.3f} "
+            f"| {v(pt, 'pitch_rmse_cents'):.0f} "
+            f"| {v(pt, 'periodicity_rmse'):.3f} "
+            f"| {v(pt, 'vuv_f1'):.3f} |"
         )
     (args.output_dir / "summary.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))

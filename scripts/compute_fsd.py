@@ -77,11 +77,21 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
 
 def main():
     args = get_parser().parse_args()
-    # Fail fast when the model must come from the Hub and there is no
-    # cached copy: HF_HUB_OFFLINE skips the 5x-retry network probing
-    # (~2 min of backoff per from_pretrained on an egress-less host).
-    if not os.path.isdir(args.model_path):
-        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    # Fail fast when the model must come from the Hub on an egress-less
+    # host: HF_HUB_OFFLINE skips the 5x-retry network probing (~2 min of
+    # backoff per from_pretrained). Only defaulted on when the Hub host
+    # doesn't even resolve — hosts with network (or a user-set value)
+    # keep normal download behavior.
+    if not os.path.isdir(args.model_path) and "HF_HUB_OFFLINE" not in os.environ:
+        import socket
+
+        try:
+            socket.setdefaulttimeout(3)
+            socket.getaddrinfo("huggingface.co", 443)
+        except OSError:
+            os.environ["HF_HUB_OFFLINE"] = "1"
+        finally:
+            socket.setdefaulttimeout(None)
 
     try:
         from transformers import Wav2Vec2FeatureExtractor, Wav2Vec2Model

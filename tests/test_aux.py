@@ -267,10 +267,12 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
 
     from flow2gan_tpu.utils import enable_compilation_cache
 
-    # on by default (resolves to the home cache dir); "off" disables
+    # on by default (resolves to the home cache dir); "off" disables.
+    # HOME is redirected so the test never writes to the real home dir.
     monkeypatch.delenv("FLOW2GAN_COMPILATION_CACHE", raising=False)
+    monkeypatch.setenv("HOME", str(tmp_path))
     default_dir = enable_compilation_cache()
-    assert default_dir is not None and default_dir.endswith("xla")
+    assert default_dir == str(tmp_path / ".cache" / "flow2gan_tpu" / "xla")
     jax.config.update("jax_compilation_cache_dir", None)
     monkeypatch.setenv("FLOW2GAN_COMPILATION_CACHE", "off")
     assert enable_compilation_cache() is None
@@ -285,3 +287,5 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         assert any(cache_dir.iterdir())
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
