@@ -80,3 +80,45 @@ def test_resolve_requires_source(tiny_ckpts):
     d, model, init = tiny_ckpts
     with pytest.raises(ValueError):
         resolve_params(_args(d), model, init)
+
+
+def test_save_averaged_model_window_guard(tiny_ckpts, monkeypatch, capsys):
+    """Windowed averaging reaching before epoch-1 exits with guidance
+    instead of a raw FileNotFoundError (bin/save_averaged_model.py)."""
+    import sys
+
+    from flow2gan_tpu.bin import save_averaged_model
+
+    d, _, _ = tiny_ckpts
+    monkeypatch.setattr(
+        sys, "argv",
+        ["save_averaged_model", "--exp-dir", str(d), "--epoch", "3",
+         "--avg", "3", "--output", str(d / "never.ckpt")],
+    )
+    with pytest.raises(SystemExit) as e:
+        save_averaged_model.main()
+    assert "--use-averaged-model false" in str(e.value)
+    assert not (d / "never.ckpt").exists()
+
+
+def test_save_averaged_model_plain_fallback(tiny_ckpts, monkeypatch):
+    """The suggested plain-average fallback works for the same window."""
+    import sys
+
+    from flow2gan_tpu.bin import save_averaged_model
+    from flow2gan_tpu.training.checkpoint import load_checkpoint
+
+    d, _, init = tiny_ckpts
+    out = d / "plain3.ckpt"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["save_averaged_model", "--exp-dir", str(d), "--epoch", "3",
+         "--avg", "3", "--use-averaged-model", "false",
+         "--output", str(out)],
+    )
+    save_averaged_model.main()
+    tree = load_checkpoint(out)["model"]
+    # epochs hold params scaled 1x/2x/3x -> plain average is 2x the init
+    got = jax.tree.leaves(tree)[0]
+    want = 2.0 * np.asarray(jax.tree.leaves(init)[0])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
