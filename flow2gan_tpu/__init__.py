@@ -8,7 +8,8 @@ data-parallel training over a jax.sharding.Mesh, and XLA/Pallas DSP kernels.
 Public API mirrors the reference `flow2gan/__init__.py:29-48`:
 
     from flow2gan_tpu import get_model
-    model, params, cfg = get_model("mel_24k_base", checkpoint="/path/ckpt.pt")
+    model = get_model("mel_24k_base", checkpoint="/path/ckpt.pt")
+    audio = model.decode(mel)  # VocoderModel: jitted mel -> waveform
 """
 
 __version__ = "0.1.0"

@@ -48,9 +48,11 @@ from flow2gan_tpu.training.gan_step import (
     GANLossScales,
     GANTrainState,
     init_gan_train_state,
+    make_gan_grad_fns,
     make_gan_steps,
 )
 from flow2gan_tpu.training.optim import (
+    dominant_parameters,
     eden2_lr,
     make_lr_scale_tree,
     parse_lr_scale_rules,
@@ -83,6 +85,13 @@ def get_parser():
     parser.add_argument("--lr-d", type=float, default=0.02)
     parser.add_argument("--lr-batches-g", type=float, default=20000)
     parser.add_argument("--lr-batches-d", type=float, default=5000)
+    parser.add_argument("--warmup-batches", type=float, default=500,
+                        help="Eden2 linear-warmup length in batches")
+    parser.add_argument("--warmup-start", type=float, default=0.1,
+                        help="Eden2 warmup starting fraction (the reference "
+                        "finetune passes 0.1 for BOTH schedulers, ref "
+                        "bin/finetune.py:918-921, overriding the class "
+                        "default of 0.5)")
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--duration", type=float, default=1.5)
     parser.add_argument("--max-load-times", type=int, default=3)
@@ -106,8 +115,16 @@ def get_parser():
     parser.add_argument("--save-every-n", type=int, default=4000)
     parser.add_argument("--keep-last-k", type=int, default=30)
     parser.add_argument("--tensorboard", type=str2bool, default=True)
+    parser.add_argument("--inf-check", type=str2bool, default=False,
+                        help="On a hard-clipped (zeroed) D or G update, rank "
+                        "parameters by gradient-norm share and name the "
+                        "module whose output went non-finite (reference "
+                        "finetune.py:171,633-656 attaches inf-check hooks "
+                        "to BOTH optimizers)")
     parser.add_argument("--print-diagnostics", type=str2bool, default=False,
-                        help="Collect generator activation stats for 5 batches, print, exit")
+                        help="Collect generator activation stats (fwd + "
+                        "grad_output/param_grad tables + act-vs-grad "
+                        "histograms) for 5 batches, print, exit")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of batches 10-15")
     parser.add_argument("--freeze-modules", type=str, default=None,
@@ -138,6 +155,60 @@ def load_generator_init(path: str, model, init_params, mel_fn):
     loaded = ckpt.load_checkpoint(path)
     tree = loaded["model"] if "model" in loaded else loaded
     return ckpt.restore_params(init_params, tree)
+
+
+def _run_scalar_diagnostics(
+    generator, discriminators, mel_fn, mel_recon_fns, params, scales,
+    state, device_batch, step_rng,
+):
+    """Nonlinearity activation-vs-gradient histograms through the FULL G
+    objective (rollout + discriminators + mel-recon) — finetune parity with
+    pretrain's ScalarDiagnostic pass (reference diagnostics.py:337-511,
+    attached by finetune at ref bin/finetune.py:633-656)."""
+    from flow2gan_tpu.models import norms as _norms
+    from flow2gan_tpu.training.diagnostics import (
+        collect_scalar_diagnostics,
+        print_scalar_diagnostics,
+    )
+    from flow2gan_tpu.training.gan_step import make_gan_loss_fns
+
+    _, g_loss_fn = make_gan_loss_fns(
+        generator, discriminators, mel_fn, mel_recon_fns,
+        n_timesteps=params.n_timesteps, scales=scales,
+    )
+    srng = jax.random.fold_in(step_rng, 999)
+    prelu_filter = lambda m, _: type(m).__name__ == "PReLU"
+    with _norms.diagnostic_perturbations():
+        # zero-perturbation tree from one train-mode rollout
+        _, mut = generator.apply(
+            {"params": state.params_g},
+            mel_fn(device_batch["audio"]),
+            audio_lens=device_batch["audio_lens"],
+            n_timesteps=params.n_timesteps,
+            clamp_pred=False,
+            train=True,
+            method="infer",
+            rngs={
+                "noise": srng,
+                "gate": jax.random.fold_in(srng, 1),
+                "dropout": jax.random.fold_in(srng, 2),
+            },
+            mutable=["perturbations"],
+        )
+        perts = jax.tree.map(jnp.zeros_like, mut["perturbations"])
+
+        def ploss(p):
+            loss, metrics = g_loss_fn(
+                state.params_g, state.params_d, device_batch, srng,
+                extra_vars_g={"perturbations": p},
+                capture_filter=prelu_filter,
+            )
+            return loss, metrics["_intermediates"]
+
+        (_, inter), pgrads = jax.value_and_grad(ploss, has_aux=True)(perts)
+    stats = {}
+    collect_scalar_diagnostics(stats, inter, pgrads)
+    print_scalar_diagnostics(stats)
 
 
 def run(args):
@@ -209,8 +280,16 @@ def run(args):
         mel_recon_fns,
         opt_g,
         opt_d,
-        lr_g_fn=lambda b: eden2_lr(params.lr_g, b, params.lr_batches_g),
-        lr_d_fn=lambda b: eden2_lr(params.lr_d, b, params.lr_batches_d),
+        lr_g_fn=lambda b: eden2_lr(
+            params.lr_g, b, params.lr_batches_g,
+            warmup_batches=params.warmup_batches,
+            warmup_start=params.warmup_start,
+        ),
+        lr_d_fn=lambda b: eden2_lr(
+            params.lr_d, b, params.lr_batches_d,
+            warmup_batches=params.warmup_batches,
+            warmup_start=params.warmup_start,
+        ),
         n_timesteps=params.n_timesteps,
         scales=scales,
         lr_scale_g=lr_scale_g,
@@ -279,6 +358,11 @@ def run(args):
             logging.info(f"Sampler restored at epoch {params.start_epoch}")
 
     # ---- data
+    if not params.train_recordings:
+        raise SystemExit(
+            "--train-recordings is required: a comma-separated list of "
+            "recordings.jsonl[.gz] manifests (scripts/prepare_*_libritts.py)"
+        )
     train_dls = [
         build_data_loader(
             read_recording_manifest(p),
@@ -321,8 +405,11 @@ def run(args):
     params.setdefault("train_disc", True)
     step_rng = jax.random.PRNGKey(params.seed + 1)
     guard = NonfiniteLossGuard()
+    debug_grad_fns = None  # (grad_d, grad_g), built on first hard-clip
 
     diag = None
+    diag_grad_fn = None  # backward-table vjp, built on first diagnostics batch
+    diag_zero_perts = None
     if params.print_diagnostics:
         from flow2gan_tpu.training.diagnostics import DiagnosticsCollector
 
@@ -418,8 +505,67 @@ def run(args):
                 )
                 diag.collect_intermediates(inter["intermediates"])
                 diag.collect_params(state.params_g)
+                # backward-side tables through the full G objective
+                # (rollout + discriminators + mel-recon): per-module
+                # grad_output and per-param param_grad stats (reference
+                # diagnostics.py:129 `{module}.grad` / `{param}.param_grad`)
+                from flow2gan_tpu.training.diagnostics import (
+                    output_perturbations,
+                )
+                from flow2gan_tpu.training.gan_step import make_gan_loss_fns
+
+                if diag_grad_fn is None:
+                    _, diag_g_loss = make_gan_loss_fns(
+                        generator, discriminators, mel_fn, mel_recon_fns,
+                        n_timesteps=params.n_timesteps, scales=scales,
+                    )
+
+                    def _pert_loss(pg, perts, pd, batch, rng):
+                        with output_perturbations():
+                            return diag_g_loss(
+                                pg, pd, batch, rng,
+                                extra_vars_g={"perturbations": perts},
+                            )[0]
+
+                    # build the zero-perturbation tree from one train-mode
+                    # rollout with the collection mutable
+                    with output_perturbations():
+                        _, mut = generator.apply(
+                            {"params": state.params_g},
+                            mel_fn(device_batch["audio"]),
+                            audio_lens=device_batch["audio_lens"],
+                            n_timesteps=params.n_timesteps,
+                            clamp_pred=False,
+                            train=True,
+                            method="infer",
+                            rngs={
+                                "noise": step_rng,
+                                "gate": jax.random.fold_in(step_rng, 1),
+                                "dropout": jax.random.fold_in(step_rng, 2),
+                            },
+                            mutable=["perturbations"],
+                        )
+                    diag_zero_perts = jax.tree.map(
+                        jnp.zeros_like, mut["perturbations"]
+                    )
+                    diag_grad_fn = jax.jit(jax.grad(_pert_loss, argnums=(0, 1)))
+                param_grads, out_grads = diag_grad_fn(
+                    state.params_g, diag_zero_perts, state.params_d,
+                    device_batch, step_rng,
+                )
+                diag.collect_params(
+                    param_grads, prefix="param/", suffix=".param_grad"
+                )
+                diag.collect_output_grads(out_grads)
                 if batch_idx == 5:
                     diag.print_diagnostics()
+                    # act-vs-grad histograms for the nonlinearities through
+                    # the G objective (reference ScalarDiagnostic,
+                    # diagnostics.py:337-511) — pretrain parity
+                    _run_scalar_diagnostics(
+                        generator, discriminators, mel_fn, mel_recon_fns,
+                        params, scales, state, device_batch, step_rng,
+                    )
                     logging.info("Diagnostics done, exiting")
                     return
 
@@ -429,6 +575,40 @@ def run(args):
                 )
                 jax.profiler.stop_trace()
                 logging.info(f"Profiler trace written to {params.profile_dir}")
+
+            was_d_step = "loss_d" in metrics
+            clip_scale_val = float(
+                (state.opt_d if was_d_step else state.opt_g).clip_scale
+            )
+            if clip_scale_val == 0.0 and params.inf_check:
+                # reference show_dominant_parameters on BOTH optimizers
+                # (ref bin/finetune.py:633-656): when an update is clipped
+                # to zero, say WHICH parameter's gradient dominated.
+                if debug_grad_fns is None:
+                    debug_grad_fns = make_gan_grad_fns(
+                        generator, discriminators, mel_fn, mel_recon_fns,
+                        n_timesteps=params.n_timesteps, scales=scales,
+                    )
+                grad_d_fn, grad_g_fn = debug_grad_fns
+                dbg_rng = jax.random.fold_in(step_rng, int(state.batch_idx) - 1)
+                if was_d_step:
+                    bad_grads = grad_d_fn(
+                        state.params_d, state.params_g, device_batch, dbg_rng
+                    )
+                    rms = state.opt_d.param_rms
+                else:
+                    bad_grads = grad_g_fn(
+                        state.params_g, state.params_d, device_batch, dbg_rng
+                    )
+                    rms = state.opt_g.param_rms
+                side = "D" if was_d_step else "G"
+                for name, prop, grms in dominant_parameters(
+                    bad_grads, param_rms=rms
+                ):
+                    logging.warning(
+                        f"Dominant {side} grad: {name} share={prop:.2%} "
+                        f"rms={grms:.3g}"
+                    )
 
             def _capture_intermediates():
                 _, inter = generator.apply(
@@ -444,9 +624,7 @@ def run(args):
 
             guard.check(
                 loss_val,
-                float(
-                    (state.opt_d if "loss_d" in metrics else state.opt_g).clip_scale
-                ),
+                clip_scale_val,
                 params.batch_idx_train,
                 lambda suffix: save_epoch(f"bad{suffix}-{epoch}"),
                 intermediates_fn=_capture_intermediates,

@@ -79,6 +79,12 @@ def get_parser():
                         help="Resume from epoch-{start-epoch-1}.ckpt when > 1")
     parser.add_argument("--base-lr", type=float, default=0.035)
     parser.add_argument("--lr-batches", type=float, default=7500)
+    parser.add_argument("--warmup-batches", type=float, default=500,
+                        help="Eden2 linear-warmup length in batches")
+    parser.add_argument("--warmup-start", type=float, default=0.1,
+                        help="Eden2 warmup starting fraction (the reference "
+                        "trainer passes 0.1, ref bin/pretrain.py:799, "
+                        "overriding the scheduler-class default of 0.5)")
     parser.add_argument("--batch-size", type=int, default=256,
                         help="GLOBAL batch size (split over devices)")
     parser.add_argument("--duration", type=float, default=1.5,
@@ -135,6 +141,11 @@ def get_train_params(args) -> AttributeDict:
 
 
 def load_manifests(csv: str):
+    if not csv:
+        raise SystemExit(
+            "--train-recordings is required: a comma-separated list of "
+            "recordings.jsonl[.gz] manifests (scripts/prepare_*_libritts.py)"
+        )
     recs_list = []
     for path in csv.split(","):
         recs_list.append(read_recording_manifest(path))
@@ -190,6 +201,17 @@ def compute_validation_loss(params, eval_step, state, valid_dls, mesh, rng):
     return tot
 
 
+def _tb_add_audio(tb_writer, tag, wav, step, sr):
+    """tensorboardX add_audio needs the optional `soundfile` package; degrade
+    to a one-time warning instead of crashing validation when it's absent."""
+    try:
+        tb_writer.add_audio(tag, wav, step, sr)
+    except (ImportError, ModuleNotFoundError) as e:
+        if not getattr(_tb_add_audio, "_warned", False):
+            _tb_add_audio._warned = True
+            logging.warning(f"TB audio dumps disabled ({e}); skipping add_audio")
+
+
 def save_test_samples(params, model, state, mel_fn, test_batch, tb_writer):
     """Generate audio at 2/4/8 steps for TB (reference bin/pretrain.py:608-680)."""
     if tb_writer is None or test_batch is None:
@@ -197,8 +219,9 @@ def save_test_samples(params, model, state, mel_fn, test_batch, tb_writer):
     audio = jnp.asarray(test_batch["audio"][:1])
     cond = mel_fn(audio)
     sr = params.sampling_rate
-    tb_writer.add_audio(
-        "test/ground_truth", np.asarray(audio)[0], params.batch_idx_train, sr
+    _tb_add_audio(
+        tb_writer, "test/ground_truth", np.asarray(audio)[0],
+        params.batch_idx_train, sr,
     )
     for n_steps in (2, 4, 8):
         wav = model.apply(
@@ -210,8 +233,8 @@ def save_test_samples(params, model, state, mel_fn, test_batch, tb_writer):
             rngs={"noise": jax.random.PRNGKey(0)},
         )
         wav = np.asarray(wav)[0]
-        tb_writer.add_audio(
-            f"test/gen_{n_steps}step", wav, params.batch_idx_train, sr
+        _tb_add_audio(
+            tb_writer, f"test/gen_{n_steps}step", wav, params.batch_idx_train, sr
         )
         mel_img = np.asarray(mel_fn(jnp.asarray(wav[None])))[0]
         tb_writer.add_image(
@@ -312,7 +335,11 @@ def run(args):
     logging.info(f"Number of model parameters: {n_params}")
 
     optimizer = scaled_adam(clipping_scale=2.0)
-    lr_fn = lambda b: eden2_lr(params.base_lr, b, params.lr_batches)
+    lr_fn = lambda b: eden2_lr(
+        params.base_lr, b, params.lr_batches,
+        warmup_batches=params.warmup_batches,
+        warmup_start=params.warmup_start,
+    )
     rules = parse_lr_scale_rules(params.lr_scale_rules, params.freeze_modules)
     lr_scale = make_lr_scale_tree(init_params, rules) if rules else None
     if rules:
@@ -383,6 +410,8 @@ def run(args):
         tb_writer = SummaryWriter(log_dir=f"{params.exp_dir}/tensorboard")
 
     diag = DiagnosticsCollector() if params.print_diagnostics else None
+    diag_grad_fn = None  # backward-table vjp, built on first diagnostics batch
+    diag_zero_perts = None
 
     def save_bad_model(suffix=""):
         ckpt.save_checkpoint(
@@ -448,6 +477,61 @@ def run(args):
                 )
                 diag.collect_intermediates(inter["intermediates"])
                 diag.collect_params(state.params)
+                # backward-side tables: per-module grad_output and per-param
+                # param_grad stats (reference diagnostics.py:129 tag taxonomy
+                # `{module}.grad` / `{param}.param_grad`), via one vjp through
+                # per-module-output zero perturbations
+                from flow2gan_tpu.training.diagnostics import (
+                    output_perturbations,
+                )
+
+                if diag_grad_fn is None:
+                    with output_perturbations():
+                        _, mut = model.apply(
+                            {"params": state.params},
+                            mel_fn(device_batch["audio"]),
+                            device_batch["audio"],
+                            device_batch["audio_lens"],
+                            train=True,
+                            rngs={
+                                "noise": step_rng,
+                                "gate": jax.random.fold_in(step_rng, 1),
+                                "dropout": jax.random.fold_in(step_rng, 2),
+                            },
+                            mutable=["perturbations"],
+                        )
+                    diag_zero_perts = jax.tree.map(
+                        jnp.zeros_like, mut["perturbations"]
+                    )
+
+                    def _diag_loss(p, perts, cond, audio, lens, rng):
+                        with output_perturbations():
+                            return model.apply(
+                                {"params": p, "perturbations": perts},
+                                cond,
+                                audio,
+                                lens,
+                                train=True,
+                                rngs={
+                                    "noise": rng,
+                                    "gate": jax.random.fold_in(rng, 1),
+                                    "dropout": jax.random.fold_in(rng, 2),
+                                },
+                            )
+
+                    diag_grad_fn = jax.jit(jax.grad(_diag_loss, argnums=(0, 1)))
+                param_grads, out_grads = diag_grad_fn(
+                    state.params,
+                    diag_zero_perts,
+                    mel_fn(device_batch["audio"]),
+                    device_batch["audio"],
+                    device_batch["audio_lens"],
+                    step_rng,
+                )
+                diag.collect_params(
+                    param_grads, prefix="param/", suffix=".param_grad"
+                )
+                diag.collect_output_grads(out_grads)
                 if batch_idx == 5:
                     diag.print_diagnostics()
                     # nonlinearity activation-vs-gradient histograms

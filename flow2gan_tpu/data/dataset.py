@@ -270,6 +270,7 @@ class DataLoader:
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
         prefetch: int = 4,
+        resumable: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -291,6 +292,11 @@ class DataLoader:
                 process_index, process_count = 0, 1
         self.process_index = process_index
         self.process_count = process_count
+        # resumable=False (eval loaders) disables mid-epoch position
+        # tracking entirely: eval loaders are re-iterated every
+        # valid_interval without set_epoch, so the resume-skip logic
+        # would make every pass after the first yield zero batches.
+        self.resumable = resumable
         self._consumed = 0  # batches yielded in the current epoch
 
     def set_epoch(self, epoch: int) -> None:
@@ -337,9 +343,12 @@ class DataLoader:
         # mid-epoch resume: skip already-consumed batches (load_state_dict);
         # the indices are deterministic per (seed, epoch) so the stream
         # continues exactly where the checkpoint left off.
-        if self._consumed:
+        if self.resumable and self._consumed:
             batches = batches[self._consumed :]
         if not batches:
+            # natural end of the epoch's stream: reset so a re-iteration
+            # without set_epoch replays the epoch instead of yielding nothing
+            self._consumed = 0
             return
 
         epoch = self.epoch
@@ -394,6 +403,12 @@ class DataLoader:
             while True:
                 item = out_q.get()
                 if item is None:
+                    # natural exhaustion (distinct from an early consumer
+                    # break, which skips this and keeps _consumed for
+                    # mid-epoch resume): reset the position so the next
+                    # __iter__ replays the epoch from the start even if the
+                    # caller forgot set_epoch.
+                    self._consumed = 0
                     break
                 if isinstance(item, Exception):
                     raise item
@@ -441,4 +456,7 @@ def build_data_loader(
         drop_last=drop_last,
         fixed_length=fixed_length,
         seed=seed,
+        # eval loaders are re-iterated every valid_interval; only train
+        # loaders participate in mid-epoch checkpoint/resume
+        resumable=train,
     )

@@ -96,17 +96,25 @@ class DepthwiseConv1d(nn.Module):
                 feature_group_count=self.channels,
             )
             return out + bias.astype(out.dtype)
-        # stencil: out[t] = sum_j w[j] * x[t + j - k//2], zero-padded edges
+        # stencil: out[t] = sum_j w[j] * x[t + j - k//2], zero-padded edges.
+        # Mirror the TPU conv's bf16 semantics (inputs/weights rounded to the
+        # compute dtype, products accumulated in f32) so the "auto" switch
+        # between lowerings doesn't change numerics class under
+        # compute_dtype='bfloat16'.
+        dtype = self.dtype or x.dtype
         left = (k - 1) // 2
         right = k - 1 - left
-        xp = jnp.pad(x, ((0, 0), (left, right), (0, 0))).astype(jnp.float32)
+        xp = (
+            jnp.pad(x.astype(dtype), ((0, 0), (left, right), (0, 0)))
+            .astype(jnp.float32)
+        )
         T = x.shape[1]
         acc = bias[None, None, :].astype(jnp.float32)
-        w = kernel[:, 0, :]  # (k, C)
+        w = kernel[:, 0, :].astype(dtype).astype(jnp.float32)  # (k, C)
         out = acc + sum(
             xp[:, j : j + T, :] * w[j][None, None, :] for j in range(k)
         )
-        return out.astype(self.dtype or x.dtype)
+        return out.astype(dtype)
 
 
 class ConvNeXtBlock(nn.Module):

@@ -64,17 +64,31 @@ def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
+def _put_global(x, sharding: NamedSharding):
+    """device_put that also works when the mesh spans multiple processes.
+
+    Multi-host, jax.device_put cannot target non-addressable devices; the
+    host-local array (this process's share of the data) is assembled into a
+    global jax.Array instead. For batch shardings the local array IS this
+    process's shard (the DataLoader yields per-process shards, so the global
+    batch is process_count x local); for replicated shardings every process
+    passes the same full array."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a pytree of host arrays with batch-dim sharding."""
     return jax.tree.map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+        lambda x: _put_global(x, data_sharding(mesh, np.ndim(x))), batch
     )
 
 
 def replicate(tree, mesh: Mesh):
     """Device-put a pytree fully replicated over the mesh."""
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _put_global(x, sh), tree)
 
 
 def process_local_batch_slice(global_batch_size: int) -> slice:

@@ -202,19 +202,83 @@ class DiagnosticsCollector:
                     np.asarray(leaf)
                 )
 
-    def collect_params(self, params, prefix="param/"):
+    def collect_params(self, params, prefix="param/", suffix=""):
         flat = jax.tree_util.tree_flatten_with_path(params)[0]
         for path, leaf in flat:
             name = prefix + "/".join(
                 str(getattr(k, "key", getattr(k, "idx", "?"))) for k in path
-            )
+            ) + suffix
             self.stats.setdefault(name, TensorStats()).update(np.asarray(leaf))
+
+    def collect_output_grads(self, pert_grads, suffix=".grad"):
+        """Feed the gradient tree of the loss w.r.t. the 'perturbations'
+        collection produced by `output_perturbations` — dLoss/d(output) for
+        every module, i.e. the reference's backward-hook `{module}.grad`
+        tables (ref diagnostics.py:129)."""
+        flat = jax.tree_util.tree_flatten_with_path(pert_grads)[0]
+        for path, leaf in flat:
+            name = _path_str(path)
+            if name.endswith("/" + _PERTURB_NAME):
+                name = name[: -(len(_PERTURB_NAME) + 1)]
+            elif name == _PERTURB_NAME:
+                name = "<root>"
+            if hasattr(leaf, "shape"):
+                self.stats.setdefault(name + suffix, TensorStats()).update(
+                    np.asarray(leaf)
+                )
 
     def print_diagnostics(self, log=logging.info):
         for name in sorted(self.stats):
             log(f"Diagnostics [{name}]: {self.stats[name].summary()}")
             for line in self.stats[name].report_lines(name):
                 log(line)
+
+
+_PERTURB_NAME = "grad_out"
+
+
+def _output_perturb_interceptor(next_fn, args, kwargs, context):
+    """flax intercept_methods hook: add a zero 'perturbations' variable to
+    every module's __call__ output. Differentiating the loss w.r.t. that
+    collection yields dLoss/d(module output) for EVERY module in one vjp —
+    the JAX replacement for the reference's per-module backward hooks
+    (ref diagnostics.py:129 `{module}.grad` tables), with no per-module
+    instrumentation in the model code."""
+    import jax.numpy as jnp
+
+    y = next_fn(*args, **kwargs)
+    if context.method_name != "__call__":
+        return y
+    mod = context.module
+    try:
+        if (
+            mod is not None
+            and hasattr(y, "dtype")
+            and hasattr(y, "shape")
+            and jnp.issubdtype(y.dtype, jnp.floating)
+        ):
+            y = mod.perturb(_PERTURB_NAME, y)
+    except Exception:
+        # a module called twice with a different output shape, or an
+        # immutable-collection edge: diagnostics must never break the loss
+        return y
+    return y
+
+
+def output_perturbations():
+    """Context manager enabling the per-module-output perturbation tap.
+
+    Usage:
+        with output_perturbations():
+            loss, mut = model.apply({"params": p}, ..., train=True,
+                                    mutable=["perturbations"], rngs=...)
+        zeros = jax.tree.map(jnp.zeros_like, mut["perturbations"])
+        # then inside the same context manager:
+        #   grads = jax.grad(loss_fn_taking_perturbations)(zeros)
+    """
+    import flax.linen as nn
+
+    return nn.intercept_methods(_output_perturb_interceptor)
 
 
 class ScalarDiagnostic:

@@ -60,14 +60,20 @@ def init_gan_train_state(
     )
 
 
-def _rollout(generator, params_g, cond, audio_lens, n_timesteps, rng, train, length):
+def _rollout(generator, params_g, cond, audio_lens, n_timesteps, rng, train,
+             length, extra_vars=None, capture_filter=None):
+    """Returns (fake, intermediates). `extra_vars`: extra generator
+    collections (the diagnostics 'perturbations' tap); `capture_filter`:
+    flax capture_intermediates filter (the diagnostics act-vs-grad pass).
+    Both are None on the jitted hot path; intermediates is then None."""
     rngs = {"noise": jax.random.fold_in(rng, 0)}
     if train:
         rngs["gate"] = jax.random.fold_in(rng, 1)
         rngs["dropout"] = jax.random.fold_in(rng, 2)
-    fake = generator.apply(
-        {"params": params_g},
-        cond,
+    variables = {"params": params_g}
+    if extra_vars:
+        variables.update(extra_vars)
+    kwargs = dict(
         audio_lens=audio_lens,
         n_timesteps=n_timesteps,
         clamp_pred=False,
@@ -75,10 +81,129 @@ def _rollout(generator, params_g, cond, audio_lens, n_timesteps, rng, train, len
         method="infer",
         rngs=rngs,
     )
+    inter = None
+    if capture_filter is not None:
+        fake, mut = generator.apply(
+            variables, cond,
+            capture_intermediates=capture_filter,
+            mutable=["intermediates"],
+            **kwargs,
+        )
+        inter = mut["intermediates"]
+    else:
+        fake = generator.apply(variables, cond, **kwargs)
     # the generator's static output length is frames * hop >= padded audio
     # length; match the real batch (reference uses audio_lens.max(),
     # gan infer path generator.py:352-356)
-    return fake[..., :length]
+    return fake[..., :length], inter
+
+
+def make_gan_loss_fns(
+    generator,
+    discriminators,
+    mel_fn: Callable,
+    mel_recon_fns,
+    n_timesteps: int = 1,
+    scales: GANLossScales = GANLossScales(),
+    remat_rollout: bool = False,
+):
+    """The two GAN objectives as pure functions, shared by the jitted train
+    steps and the debugging surfaces (dominant-grad ranking, backward
+    diagnostics). Returns (d_loss_fn, g_loss_fn), each
+    (own_params, other_params, batch, rng) -> (loss, metrics)."""
+
+    def d_loss_fn(params_d, params_g, batch, rng):
+        cond = mel_fn(batch["audio"])
+        fake = jax.lax.stop_gradient(
+            _rollout(
+                generator, params_g, cond, batch["audio_lens"], n_timesteps, rng,
+                train=False, length=batch["audio"].shape[-1],
+            )[0]
+        )
+        (mp, mr) = discriminators.apply(
+            {"params": params_d}, batch["audio"], fake
+        )
+        score_real_mp, score_fake_mp, _, _ = mp
+        score_real_mr, score_fake_mr, _, _ = mr
+        disc_loss_mp = discriminator_loss(score_real_mp, score_fake_mp)
+        disc_loss_mr = discriminator_loss(score_real_mr, score_fake_mr)
+        loss = scales.disc_mp * disc_loss_mp + scales.disc_mr * disc_loss_mr
+        return loss, {
+            "loss_d": loss,
+            "disc_loss_mp": disc_loss_mp,
+            "disc_loss_mr": disc_loss_mr,
+        }
+
+    def g_loss_fn(params_g, params_d, batch, rng, extra_vars_g=None,
+                  capture_filter=None):
+        # extra_vars_g / capture_filter: diagnostics-only hooks (the
+        # 'perturbations' tap and the act-vs-grad intermediates capture);
+        # both None on the jitted hot path
+        cond = mel_fn(batch["audio"])
+
+        def roll(params_g, cond):
+            return _rollout(
+                generator, params_g, cond, batch["audio_lens"], n_timesteps, rng,
+                train=True, length=batch["audio"].shape[-1],
+                extra_vars=extra_vars_g, capture_filter=capture_filter,
+            )
+
+        if remat_rollout:
+            roll = jax.checkpoint(roll)
+        fake, inter = roll(params_g, cond)
+        (mp, mr) = discriminators.apply(
+            {"params": params_d}, batch["audio"], fake
+        )
+        _, score_fake_mp, fmap_real_mp, fmap_fake_mp = mp
+        _, score_fake_mr, fmap_real_mr, fmap_fake_mr = mr
+        gen_loss_mp = generator_loss(score_fake_mp)
+        gen_loss_mr = generator_loss(score_fake_mr)
+        fm_mp = feature_matching_loss(fmap_real_mp, fmap_fake_mp)
+        fm_mr = feature_matching_loss(fmap_real_mr, fmap_fake_mr)
+        mel_loss = mel_recon_loss(batch["audio"], fake, mel_recon_fns)
+        loss = (
+            scales.gen_mp * gen_loss_mp
+            + scales.gen_mr * gen_loss_mr
+            + scales.fmap_mp * fm_mp
+            + scales.fmap_mr * fm_mr
+            + scales.mel_recon * mel_loss
+        )
+        metrics = {
+            "loss_g": loss,
+            "gen_loss_mp": gen_loss_mp,
+            "gen_loss_mr": gen_loss_mr,
+            "feat_map_loss_mp": fm_mp,
+            "feat_map_loss_mr": fm_mr,
+            "mel_recon_loss": mel_loss,
+        }
+        if inter is not None:
+            metrics["_intermediates"] = inter
+        return loss, metrics
+
+    return d_loss_fn, g_loss_fn
+
+
+def make_gan_grad_fns(
+    generator,
+    discriminators,
+    mel_fn: Callable,
+    mel_recon_fns,
+    n_timesteps: int = 1,
+    scales: GANLossScales = GANLossScales(),
+):
+    """Jitted grad-only D and G objectives for debugging: lets the finetune
+    trainer rank parameters by gradient-norm share (`dominant_parameters`)
+    when either optimizer hard-clips — the reference's
+    `show_dominant_parameters` path, which finetune attaches to BOTH
+    optimizers (ref bin/finetune.py:633-656). Returns (grad_d_fn, grad_g_fn),
+    each (own_params, other_params, batch, rng) -> grads of own_params."""
+    d_loss_fn, g_loss_fn = make_gan_loss_fns(
+        generator, discriminators, mel_fn, mel_recon_fns,
+        n_timesteps=n_timesteps, scales=scales,
+    )
+    grad_d = jax.jit(jax.grad(lambda pd, pg, b, r: d_loss_fn(pd, pg, b, r)[0]))
+    grad_g = jax.jit(jax.grad(lambda pg, pd, b, r: g_loss_fn(pg, pd, b, r)[0]))
+    return grad_d, grad_g
 
 
 def make_gan_steps(
@@ -114,66 +239,10 @@ def make_gan_steps(
     each scheduler is driven by the number of updates IT has taken —
     we derive it from state.opt_{g,d}.step (ScaledAdam's own step counter).
     """
-
-    def d_loss_fn(params_d, params_g, batch, rng):
-        cond = mel_fn(batch["audio"])
-        fake = jax.lax.stop_gradient(
-            _rollout(
-                generator, params_g, cond, batch["audio_lens"], n_timesteps, rng,
-                train=False, length=batch["audio"].shape[-1],
-            )
-        )
-        (mp, mr) = discriminators.apply(
-            {"params": params_d}, batch["audio"], fake
-        )
-        score_real_mp, score_fake_mp, _, _ = mp
-        score_real_mr, score_fake_mr, _, _ = mr
-        disc_loss_mp = discriminator_loss(score_real_mp, score_fake_mp)
-        disc_loss_mr = discriminator_loss(score_real_mr, score_fake_mr)
-        loss = scales.disc_mp * disc_loss_mp + scales.disc_mr * disc_loss_mr
-        return loss, {
-            "loss_d": loss,
-            "disc_loss_mp": disc_loss_mp,
-            "disc_loss_mr": disc_loss_mr,
-        }
-
-    def g_loss_fn(params_g, params_d, batch, rng):
-        cond = mel_fn(batch["audio"])
-
-        def roll(params_g, cond):
-            return _rollout(
-                generator, params_g, cond, batch["audio_lens"], n_timesteps, rng,
-                train=True, length=batch["audio"].shape[-1],
-            )
-
-        if remat_rollout:
-            roll = jax.checkpoint(roll)
-        fake = roll(params_g, cond)
-        (mp, mr) = discriminators.apply(
-            {"params": params_d}, batch["audio"], fake
-        )
-        _, score_fake_mp, fmap_real_mp, fmap_fake_mp = mp
-        _, score_fake_mr, fmap_real_mr, fmap_fake_mr = mr
-        gen_loss_mp = generator_loss(score_fake_mp)
-        gen_loss_mr = generator_loss(score_fake_mr)
-        fm_mp = feature_matching_loss(fmap_real_mp, fmap_fake_mp)
-        fm_mr = feature_matching_loss(fmap_real_mr, fmap_fake_mr)
-        mel_loss = mel_recon_loss(batch["audio"], fake, mel_recon_fns)
-        loss = (
-            scales.gen_mp * gen_loss_mp
-            + scales.gen_mr * gen_loss_mr
-            + scales.fmap_mp * fm_mp
-            + scales.fmap_mr * fm_mr
-            + scales.mel_recon * mel_loss
-        )
-        return loss, {
-            "loss_g": loss,
-            "gen_loss_mp": gen_loss_mp,
-            "gen_loss_mr": gen_loss_mr,
-            "feat_map_loss_mp": fm_mp,
-            "feat_map_loss_mr": fm_mr,
-            "mel_recon_loss": mel_loss,
-        }
+    d_loss_fn, g_loss_fn = make_gan_loss_fns(
+        generator, discriminators, mel_fn, mel_recon_fns,
+        n_timesteps=n_timesteps, scales=scales, remat_rollout=remat_rollout,
+    )
 
     donate_args = (0,) if donate else ()
 
@@ -219,7 +288,7 @@ def make_gan_steps(
         # eval-mode rollout (train=False): no mel-noise aug / branch dropout,
         # matching the reference's model.eval() validation
         cond = mel_fn(batch["audio"])
-        fake = _rollout(
+        fake, _ = _rollout(
             generator, params_g, cond, batch["audio_lens"], n_timesteps, rng,
             train=False, length=batch["audio"].shape[-1],
         )

@@ -110,12 +110,18 @@ def find_nonfinite_leaves(tree, limit: int = 10):
 
 def find_nonfinite_module_outputs(intermediates, limit: int = 20):
     """Scan a flax 'intermediates' collection (capture_intermediates=True)
-    for module outputs containing inf/NaN; returns module paths in forward
-    capture order, so the FIRST entry is where the non-finiteness was born
-    (the reference warns per-module via forward hooks, hooks.py:27-63)."""
+    for module outputs containing inf/NaN (the reference warns per-module via
+    forward hooks, hooks.py:27-63).
+
+    tree_flatten traverses dict keys alphabetically, NOT in forward-execution
+    order, so ordering alone cannot identify the birth site. Instead this
+    returns the DEEPEST non-finite modules first: a module none of whose
+    captured submodule outputs are non-finite is a birth site (up to capture
+    granularity); enclosing modules that merely propagate a descendant's inf
+    are listed after, for context."""
     import numpy as np
 
-    bad = []
+    bad_paths = []
     flat = jax.tree_util.tree_flatten_with_path(intermediates)[0]
     for path, leaf in flat:
         if not hasattr(leaf, "shape"):
@@ -128,7 +134,13 @@ def find_nonfinite_module_outputs(intermediates, limit: int = 20):
                 if name.endswith(suffix):
                     name = name[: -len(suffix)]
                     break
-            bad.append(name)
-            if len(bad) >= limit:
+            bad_paths.append(name)
+            if len(bad_paths) >= limit:
                 break
-    return bad
+    # birth-site candidates: non-finite modules with no non-finite descendant
+    def has_bad_descendant(p):
+        return any(q != p and q.startswith(p + "/") for q in bad_paths)
+
+    leaves = [p for p in bad_paths if not has_bad_descendant(p)]
+    propagated = [p for p in bad_paths if has_bad_descendant(p)]
+    return leaves + propagated

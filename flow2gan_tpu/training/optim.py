@@ -94,8 +94,14 @@ class ScaledAdam:
 
     # -------------------------------------------------------------- clipping
 
-    def _clipping_scale(self, grads, state: ScaledAdamState, lr_scale):
-        """Reference _get_clipping_scale (optim.py:509-619), vectorized."""
+    def _clipping_scale(self, grads, state: ScaledAdamState):
+        """Reference _get_clipping_scale (optim.py:509-619), vectorized.
+
+        Deliberately does NOT incorporate per-leaf lr scaling: the
+        reference's clipping norm weights leaves by param_rms (and
+        scalar_lr_scale for scalars) only — per-group lr factors affect the
+        update, not the clipping statistic.
+        """
         step = state.step
         period = self.clipping_update_period
 
@@ -176,7 +182,7 @@ class ScaledAdam:
 
         if self.clipping_scale is not None:
             clip, model_norms, threshold, num_clipped = self._clipping_scale(
-                grads, state, lr_scale
+                grads, state
             )
         else:
             clip = jnp.ones((), jnp.float32)

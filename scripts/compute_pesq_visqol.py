@@ -90,9 +90,11 @@ def compute_one(pair):
         out["pesq"] = float(pesq_fn(16000, ref16, gen16, "wb"))
     except ImportError:
         out["pesq"] = None
+        out["pesq_unavailable"] = "pesq package not installed"
     except Exception as e:  # NoUtterancesError etc. on silent/short clips
         logging.warning(f"pesq failed on {gen_path}: {e}")
         out["pesq"] = None
+        out["pesq_unavailable"] = f"pesq failed: {e}"
 
     if with_visqol and shutil.which("visqol"):
         # pad < 1 s clips (reference compute_pesq_visqol.py:133-147)
@@ -150,8 +152,21 @@ def main():
 
     summary = {}
     for key in ("pesq", "visqol", "mrstft"):
-        vals = [r[key] for r in results if r.get(key) is not None]
+        vals = [r.get(key) for r in results if r.get(key) is not None]
         summary[key] = float(np.mean(vals)) if vals else None
+    # self-describing nulls: a reader of the artifact alone must not
+    # mistake an unavailable backend for a zero/failed score
+    if summary["pesq"] is None:
+        reasons = {r["pesq_unavailable"] for r in results if "pesq_unavailable" in r}
+        summary["pesq_unavailable"] = (
+            "; ".join(sorted(reasons)) if reasons else "no file pairs scored"
+        )
+    if summary["visqol"] is None:
+        summary["visqol_unavailable"] = (
+            "visqol binary not on PATH or --with-visqol not set"
+            if not (args.with_visqol and shutil.which("visqol"))
+            else "no file pairs scored"
+        )
     summary["n_files"] = len(results)
     print(json.dumps(summary))
     if args.output:

@@ -50,6 +50,59 @@ def test_diagnostics_on_model_intermediates():
     assert any("param/" in l for l in lines)
 
 
+def test_backward_diagnostics_tables():
+    """Backward-side tables (VERDICT r2 #3): per-module `.grad` (grad_output)
+    and per-param `.param_grad` stats via the output_perturbations tap —
+    the JAX equivalent of the reference's backward hooks (ref
+    diagnostics.py:129 `{module}.grad` / `{param}.param_grad` taxonomy).
+    Uses a synthetic model with a KNOWN gradient pattern: one branch is
+    multiplied by 3.0 downstream (grad == 3), the other by 0.0 (grad == 0).
+    """
+    import flax.linen as nn
+
+    from flow2gan_tpu.training.diagnostics import output_perturbations
+
+    class Branch(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return x + self.param("b", nn.initializers.zeros, (x.shape[-1],))
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            live = Branch(name="live")(x)
+            dead = Branch(name="dead")(x)
+            return jnp.sum(3.0 * live) + jnp.sum(0.0 * dead)
+
+    m = M()
+    x = jnp.ones((2, 5))
+    with output_perturbations():
+        v = m.init(jax.random.PRNGKey(0), x)
+    assert "perturbations" in v
+    perts = jax.tree.map(jnp.zeros_like, v["perturbations"])
+
+    def loss_fn(p, q):
+        with output_perturbations():
+            return m.apply({"params": p, "perturbations": q}, x)
+
+    pg, og = jax.grad(loss_fn, argnums=(0, 1))(v["params"], perts)
+    d = DiagnosticsCollector()
+    d.collect_output_grads(og)
+    d.collect_params(pg, prefix="param/", suffix=".param_grad")
+
+    assert "live.grad" in d.stats and "dead.grad" in d.stats
+    assert abs(d.stats["live.grad"].sum_abs / d.stats["live.grad"].n - 3.0) < 1e-6
+    assert d.stats["dead.grad"].max_abs == 0.0
+    # param_grad: d/db sum(3*(x+b)) = 3 per element * 2 rows = 6
+    pgl = d.stats["param/live/b.param_grad"]
+    assert abs(pgl.sum_abs / pgl.n - 6.0) < 1e-6
+    # report lines use the same percentile machinery as the forward tables
+    lines = []
+    d.print_diagnostics(log=lines.append)
+    assert any(".grad]" in l or ".grad:" in l or ".grad" in l for l in lines)
+    assert any(".param_grad" in l for l in lines)
+
+
 def test_finite_flags_detect_nan():
     tree = {"a": {"x": jnp.ones(3)}, "b": {"y": jnp.asarray([1.0, jnp.nan])}}
     flags = finite_flags(tree)

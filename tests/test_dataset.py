@@ -200,3 +200,32 @@ def test_sampler_snapshot_roundtrip_through_msgpack(wav_dir, tmp_path):
     assert epoch == 4
     assert dl.state_dict() == {"epoch": 4, "consumed": 1}
     assert rng2.random() == expected_next
+
+
+def test_reiterating_loader_without_set_epoch_replays(wav_dir):
+    """Regression (ADVICE r2, high): re-iterating a loader to natural
+    exhaustion must replay the epoch, not yield zero batches. Validation
+    loaders are re-iterated every valid_interval without set_epoch; before
+    the fix every pass after the first was empty (inf valid loss)."""
+    recs = scan_dir_to_recordings(wav_dir)
+    loader = build_data_loader(
+        recs, sampling_rate=24000, batch_size=1, train=True, duration=1.0, seed=3
+    )
+    first = [b["file_names"] for b in loader]
+    second = [b["file_names"] for b in loader]
+    assert len(first) >= 3
+    assert second == first  # replay, not empty
+
+
+def test_eval_loader_not_resumable(wav_dir):
+    """Eval loaders (train=False) must not track a resume position at all:
+    an early break (e.g. next(iter(dl)) to grab a test batch, pretrain) must
+    not skip batches on the following full pass."""
+    recs = scan_dir_to_recordings(wav_dir)
+    loader = build_data_loader(recs, sampling_rate=24000, batch_size=1, train=False)
+    assert not loader.resumable
+    peeked = next(iter(loader))  # early break: iterator abandoned mid-epoch
+    full = [b["file_names"] for b in loader]
+    assert full[0] == peeked["file_names"]  # first batch NOT skipped
+    again = [b["file_names"] for b in loader]
+    assert again == full

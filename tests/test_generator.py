@@ -285,6 +285,30 @@ def test_dwconv_stencil_matches_conv():
     assert float(jnp.abs(a - b).max()) < 1e-5
 
 
+def test_dwconv_stencil_matches_conv_bf16():
+    """Under compute_dtype='bfloat16' both lowerings round inputs/weights to
+    bf16 and accumulate in f32, so the 'auto' switch (conv for train,
+    stencil for eval) stays within bf16 rounding noise — important because
+    GAN D-steps (eval-mode G rollout) and G-steps (train-mode G) would
+    otherwise see systematically different generator outputs."""
+    import numpy as np
+
+    from flow2gan_tpu.models.convnext import DepthwiseConv1d
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 32), jnp.float32)
+    kw = dict(channels=32, kernel_size=7, dtype=jnp.bfloat16)
+    m_conv = DepthwiseConv1d(**kw, impl="conv")
+    m_sten = DepthwiseConv1d(**kw, impl="stencil")
+    v = m_conv.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(m_conv.apply(v, x), np.float32)
+    b = np.asarray(m_sten.apply(v, x), np.float32)
+    scale = np.abs(a).max() + 1e-8
+    # both paths see identically-rounded bf16 operands; residual difference
+    # is accumulation order only — a couple of bf16 ulps relative
+    assert np.abs(a - b).max() / scale < 3e-2
+    assert np.median(np.abs(a - b)) / scale < 4e-3
+
+
 def test_native_rate_cond_projection_commutes():
     """Decoder cond projections run at the native cond frame rate and
     nearest-repeat the result — bit-identical to projecting repeated rows

@@ -1,0 +1,171 @@
+"""Two-process distributed integration test (VERDICT r2 #5): actually runs
+the multi-host surfaces with jax.process_count() == 2 — the replacement for
+the reference's torchrun + dist.py:25-69 machinery.
+
+Spawns 2 CPU subprocesses (4 virtual devices each, localhost coordinator)
+and asserts, inside the workers:
+  - `init_distributed` brings up the 2-process / 8-global-device runtime;
+  - `MetricsTracker.reduce` sums metrics across processes
+    (replaces ref utils.py:318-326 dist.all_reduce);
+  - `DataLoader` per-process shards are disjoint and complete;
+  - `shard_batch`/`replicate` build global arrays from host-local data and a
+    jitted global-mean computation agrees across processes;
+  - only process 0 writes checkpoints (the trainers' gating convention).
+The parent asserts on the workers' JSON reports.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import json, os, sys
+proc_id = int(sys.argv[1]); port = sys.argv[2]
+wav_dir = sys.argv[3]; out_dir = sys.argv[4]
+
+# XLA_FLAGS / JAX_PLATFORMS are set by the parent in the spawn env (the
+# axon sitecustomize imports jax at interpreter startup, before this body)
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from flow2gan_tpu.parallel.mesh import (
+    init_distributed, make_mesh, replicate, shard_batch,
+)
+init_distributed(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=proc_id
+)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.local_device_count() == 4
+assert len(jax.devices()) == 8
+
+report = {"process_index": jax.process_index()}
+
+# ---- MetricsTracker.reduce sums across processes
+from flow2gan_tpu.utils import MetricsTracker
+t = MetricsTracker()
+t["samples"] = float(proc_id + 1)   # 1 + 2 = 3
+t["loss"] = float(10 * (proc_id + 1)) # 10 + 20 = 30
+t.reduce()
+report["reduced"] = {"samples": t["samples"], "loss": t["loss"]}
+
+# ---- loader shards: disjoint-and-complete across processes
+from flow2gan_tpu.data.dataset import DataLoader, RecordingDataset, scan_dir_to_recordings
+recs = scan_dir_to_recordings(wav_dir)
+ds = RecordingDataset(recs, sampling_rate=24000, train=False, apply_effects=False)
+dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+assert dl.process_index == jax.process_index()
+assert dl.process_count == 2
+names = []
+for b in dl:
+    names.extend(n for n in b["file_names"])
+report["shard_names"] = sorted(names)
+report["n_recordings"] = len(recs)
+
+# ---- global mesh compute: shard_batch/replicate from host-local data
+import numpy as np
+import jax.numpy as jnp
+mesh = make_mesh()
+# each process contributes its own half of a global (8, 4) batch
+local = np.full((4, 4), float(proc_id + 1), np.float32)
+gbatch = shard_batch({"x": local}, mesh)
+assert gbatch["x"].shape == (8, 4), gbatch["x"].shape
+w = replicate({"w": np.full((4,), 2.0, np.float32)}, mesh)
+out = jax.jit(lambda b, w: jnp.mean(b["x"] * w["w"]))(gbatch, w)
+# mean over the global batch: (1*2 + 2*2)/2 = 3.0 on every process
+report["global_mean"] = float(out)
+
+# ---- checkpoint gating: only process 0 writes (trainers' convention)
+if jax.process_index() == 0:
+    from flow2gan_tpu.training.checkpoint import save_checkpoint
+    save_checkpoint(
+        os.path.join(out_dir, "ckpt.msgpack"),
+        params={"w": np.ones(3, np.float32)},
+        train_params={"batch_idx_train": 1},
+    )
+
+with open(os.path.join(out_dir, f"report_{proc_id}.json"), "w") as f:
+    json.dump(report, f)
+print("WORKER_OK", proc_id)
+"""
+
+
+def test_two_process_distributed(tmp_path):
+    # tiny wav corpus for the loader-shard check
+    sys.path.insert(0, str(REPO))
+    from flow2gan_tpu.data.audio_io import write_wav
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        write_wav(wav_dir / f"u{i}.wav", rng.randn(2400).astype(np.float32) * 0.1,
+                  24000)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(WORKER)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    # drop any inherited device-count flag (conftest sets 8 for the parent;
+    # a later duplicate would win over our 4)
+    inherited = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    ]
+    env["XLA_FLAGS"] = " ".join(
+        ["--xla_force_host_platform_device_count=4"] + inherited
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(i), str(port),
+             str(wav_dir), str(out_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        assert f"WORKER_OK {i}" in out
+
+    r0 = json.loads((out_dir / "report_0.json").read_text())
+    r1 = json.loads((out_dir / "report_1.json").read_text())
+
+    # metrics reduced identically on both processes
+    assert r0["reduced"] == {"samples": 3.0, "loss": 30.0}
+    assert r1["reduced"] == r0["reduced"]
+
+    # loader shards: disjoint and complete
+    s0, s1 = set(r0["shard_names"]), set(r1["shard_names"])
+    assert s0.isdisjoint(s1), s0 & s1
+    assert len(s0 | s1) == r0["n_recordings"] == 8
+
+    # global computation agrees and is the true global mean
+    assert abs(r0["global_mean"] - 3.0) < 1e-6
+    assert abs(r1["global_mean"] - 3.0) < 1e-6
+
+    # only process 0 wrote the checkpoint; it exists exactly once
+    assert (out_dir / "ckpt.msgpack").exists()

@@ -108,6 +108,49 @@ def test_eden2_matches_reference(reference_dir):
         assert abs(ours - theirs) / theirs < 1e-6, (batch, ours, theirs)
 
 
+def test_trainer_wired_lr_matches_reference_trainers(reference_dir):
+    """Golden-compare the lr AS THE TRAINERS CONSTRUCT IT against a reference
+    scheduler constructed as the reference trainers construct it.
+
+    The reference trainers pass warmup_start=0.1 explicitly (ref
+    bin/pretrain.py:799, bin/finetune.py:918-921) — NOT the Eden2 class
+    default of 0.5 — so a component-golden test at class defaults cannot
+    catch a trainer-wiring deviation. This one reads the actual parser
+    defaults of both our trainers and compares through warmup.
+    """
+    import_reference()
+    from flow2gan.optim import Eden2, ScaledAdam
+
+    from flow2gan_tpu.bin.pretrain import get_parser as pretrain_parser
+    from flow2gan_tpu.bin.finetune import get_parser as finetune_parser
+
+    pt = pretrain_parser().parse_args([])
+    ft = finetune_parser().parse_args([])
+
+    cases = [
+        # (base_lr, lr_batches, our warmup_start, our warmup_batches)
+        (pt.base_lr, pt.lr_batches, pt.warmup_start, pt.warmup_batches),
+        (ft.lr_g, ft.lr_batches_g, ft.warmup_start, ft.warmup_batches),
+        (ft.lr_d, ft.lr_batches_d, ft.warmup_start, ft.warmup_batches),
+    ]
+    for base_lr, lr_batches, w_start, w_batches in cases:
+        p = torch.nn.Parameter(torch.zeros(3))
+        opt = ScaledAdam([p], lr=base_lr)
+        # constructed exactly as the reference trainers do
+        sched = Eden2(opt, lr_batches=lr_batches, warmup_start=0.1)
+        for batch in [0, 100, 250, 499, 500]:
+            sched.step_batch(batch)
+            theirs = opt.param_groups[0]["lr"]
+            ours = float(
+                eden2_lr(base_lr, batch, lr_batches,
+                         warmup_batches=w_batches, warmup_start=w_start)
+            )
+            assert abs(ours - theirs) / theirs < 1e-6, (
+                f"lr mismatch at batch {batch}: ours={ours} ref={theirs} "
+                f"(base_lr={base_lr}, lr_batches={lr_batches})"
+            )
+
+
 def test_scheduler_wrapper_state_roundtrip():
     s = make_eden2(0.035, 7500)
     for _ in range(10):
