@@ -363,11 +363,17 @@ def run(args):
             "--train-recordings is required: a comma-separated list of "
             "recordings.jsonl[.gz] manifests (scripts/prepare_*_libritts.py)"
         )
+    # --batch-size is GLOBAL: each process loads its 1/process_count share
+    # (the loader shards recordings per process; shard_batch assembles the
+    # global batch from host-local arrays)
+    n_proc = jax.process_count()
+    assert params.batch_size % n_proc == 0, (params.batch_size, n_proc)
+    local_batch = params.batch_size // n_proc
     train_dls = [
         build_data_loader(
             read_recording_manifest(p),
             sampling_rate=cfg.sampling_rate,
-            batch_size=params.batch_size,
+            batch_size=local_batch,
             num_workers=params.num_workers,
             train=True,
             duration=params.duration,
@@ -388,7 +394,7 @@ def run(args):
             build_data_loader(
                 read_recording_manifest(p),
                 sampling_rate=cfg.sampling_rate,
-                batch_size=min(params.batch_size, 16),
+                batch_size=min(local_batch, 16),
                 num_workers=params.num_workers,
                 train=False,
                 duration=params.duration,
@@ -408,8 +414,7 @@ def run(args):
     debug_grad_fns = None  # (grad_d, grad_g), built on first hard-clip
 
     diag = None
-    diag_grad_fn = None  # backward-table vjp, built on first diagnostics batch
-    diag_zero_perts = None
+    diag_backward = None  # BackwardTables, built on first diagnostics batch
     if params.print_diagnostics:
         from flow2gan_tpu.training.diagnostics import DiagnosticsCollector
 
@@ -509,27 +514,21 @@ def run(args):
                 # (rollout + discriminators + mel-recon): per-module
                 # grad_output and per-param param_grad stats (reference
                 # diagnostics.py:129 `{module}.grad` / `{param}.param_grad`)
-                from flow2gan_tpu.training.diagnostics import (
-                    output_perturbations,
-                )
-                from flow2gan_tpu.training.gan_step import make_gan_loss_fns
+                if diag_backward is None:
+                    from flow2gan_tpu.training.diagnostics import (
+                        BackwardTables,
+                    )
+                    from flow2gan_tpu.training.gan_step import (
+                        make_gan_loss_fns,
+                    )
 
-                if diag_grad_fn is None:
                     _, diag_g_loss = make_gan_loss_fns(
                         generator, discriminators, mel_fn, mel_recon_fns,
                         n_timesteps=params.n_timesteps, scales=scales,
                     )
 
-                    def _pert_loss(pg, perts, pd, batch, rng):
-                        with output_perturbations():
-                            return diag_g_loss(
-                                pg, pd, batch, rng,
-                                extra_vars_g={"perturbations": perts},
-                            )[0]
-
-                    # build the zero-perturbation tree from one train-mode
-                    # rollout with the collection mutable
-                    with output_perturbations():
+                    def _diag_init():
+                        # one train-mode rollout with the collection mutable
                         _, mut = generator.apply(
                             {"params": state.params_g},
                             mel_fn(device_batch["audio"]),
@@ -545,18 +544,18 @@ def run(args):
                             },
                             mutable=["perturbations"],
                         )
-                    diag_zero_perts = jax.tree.map(
-                        jnp.zeros_like, mut["perturbations"]
+                        return mut["perturbations"]
+
+                    diag_backward = BackwardTables(
+                        init_fn=_diag_init,
+                        loss_fn=lambda pg, perts, pd, batch, rng: diag_g_loss(
+                            pg, pd, batch, rng,
+                            extra_vars_g={"perturbations": perts},
+                        )[0],
                     )
-                    diag_grad_fn = jax.jit(jax.grad(_pert_loss, argnums=(0, 1)))
-                param_grads, out_grads = diag_grad_fn(
-                    state.params_g, diag_zero_perts, state.params_d,
-                    device_batch, step_rng,
+                diag_backward.collect(
+                    diag, state.params_g, state.params_d, device_batch, step_rng
                 )
-                diag.collect_params(
-                    param_grads, prefix="param/", suffix=".param_grad"
-                )
-                diag.collect_output_grads(out_grads)
                 if batch_idx == 5:
                     diag.print_diagnostics()
                     # act-vs-grad histograms for the nonlinearities through
@@ -627,7 +626,12 @@ def run(args):
                 clip_scale_val,
                 params.batch_idx_train,
                 lambda suffix: save_epoch(f"bad{suffix}-{epoch}"),
-                intermediates_fn=_capture_intermediates,
+                # the full-rollout capture replay is --inf-check-only, like
+                # pretrain: it materializes every module output of the
+                # unrolled Euler graph and can OOM near memory capacity
+                intermediates_fn=(
+                    _capture_intermediates if params.inf_check else None
+                ),
             )
 
             if (

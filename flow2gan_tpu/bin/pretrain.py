@@ -276,6 +276,12 @@ def run(args):
     mesh = make_mesh(("data",))
     n_dev = jax.device_count()
     assert params.batch_size % n_dev == 0, (params.batch_size, n_dev)
+    # --batch-size is GLOBAL. The DataLoader shards recordings per process
+    # and shard_batch assembles the global batch from each host's local
+    # arrays, so each process must load batch_size / process_count items.
+    n_proc = jax.process_count()
+    assert params.batch_size % n_proc == 0, (params.batch_size, n_proc)
+    local_batch = params.batch_size // n_proc
 
     # ---- data
     fixed_len = int(params.duration * cfg.sampling_rate)
@@ -284,7 +290,7 @@ def run(args):
         build_data_loader(
             recs,
             sampling_rate=cfg.sampling_rate,
-            batch_size=params.batch_size,
+            batch_size=local_batch,
             num_workers=params.num_workers,
             train=True,
             duration=params.duration,
@@ -306,7 +312,7 @@ def run(args):
             build_data_loader(
                 recs,
                 sampling_rate=cfg.sampling_rate,
-                batch_size=min(params.batch_size, 32),
+                batch_size=min(local_batch, 32),
                 num_workers=params.num_workers,
                 train=False,
                 duration=params.duration,
@@ -410,8 +416,7 @@ def run(args):
         tb_writer = SummaryWriter(log_dir=f"{params.exp_dir}/tensorboard")
 
     diag = DiagnosticsCollector() if params.print_diagnostics else None
-    diag_grad_fn = None  # backward-table vjp, built on first diagnostics batch
-    diag_zero_perts = None
+    diag_backward = None  # BackwardTables, built on first diagnostics batch
 
     def save_bad_model(suffix=""):
         ckpt.save_checkpoint(
@@ -481,57 +486,48 @@ def run(args):
                 # param_grad stats (reference diagnostics.py:129 tag taxonomy
                 # `{module}.grad` / `{param}.param_grad`), via one vjp through
                 # per-module-output zero perturbations
-                from flow2gan_tpu.training.diagnostics import (
-                    output_perturbations,
-                )
+                if diag_backward is None:
+                    from flow2gan_tpu.training.diagnostics import (
+                        BackwardTables,
+                    )
 
-                if diag_grad_fn is None:
-                    with output_perturbations():
-                        _, mut = model.apply(
-                            {"params": state.params},
+                    def _diag_fwd(p, perts, cond, audio, lens, rng,
+                                  mutable=False):
+                        variables = {"params": p}
+                        if perts is not None:
+                            variables["perturbations"] = perts
+                        return model.apply(
+                            variables,
+                            cond,
+                            audio,
+                            lens,
+                            train=True,
+                            rngs={
+                                "noise": rng,
+                                "gate": jax.random.fold_in(rng, 1),
+                                "dropout": jax.random.fold_in(rng, 2),
+                            },
+                            **({"mutable": ["perturbations"]} if mutable else {}),
+                        )
+
+                    diag_backward = BackwardTables(
+                        init_fn=lambda: _diag_fwd(
+                            state.params, None,
                             mel_fn(device_batch["audio"]),
                             device_batch["audio"],
                             device_batch["audio_lens"],
-                            train=True,
-                            rngs={
-                                "noise": step_rng,
-                                "gate": jax.random.fold_in(step_rng, 1),
-                                "dropout": jax.random.fold_in(step_rng, 2),
-                            },
-                            mutable=["perturbations"],
-                        )
-                    diag_zero_perts = jax.tree.map(
-                        jnp.zeros_like, mut["perturbations"]
+                            step_rng, mutable=True,
+                        )[1]["perturbations"],
+                        loss_fn=_diag_fwd,
                     )
-
-                    def _diag_loss(p, perts, cond, audio, lens, rng):
-                        with output_perturbations():
-                            return model.apply(
-                                {"params": p, "perturbations": perts},
-                                cond,
-                                audio,
-                                lens,
-                                train=True,
-                                rngs={
-                                    "noise": rng,
-                                    "gate": jax.random.fold_in(rng, 1),
-                                    "dropout": jax.random.fold_in(rng, 2),
-                                },
-                            )
-
-                    diag_grad_fn = jax.jit(jax.grad(_diag_loss, argnums=(0, 1)))
-                param_grads, out_grads = diag_grad_fn(
+                diag_backward.collect(
+                    diag,
                     state.params,
-                    diag_zero_perts,
                     mel_fn(device_batch["audio"]),
                     device_batch["audio"],
                     device_batch["audio_lens"],
                     step_rng,
                 )
-                diag.collect_params(
-                    param_grads, prefix="param/", suffix=".param_grad"
-                )
-                diag.collect_output_grads(out_grads)
                 if batch_idx == 5:
                     diag.print_diagnostics()
                     # nonlinearity activation-vs-gradient histograms
@@ -594,10 +590,13 @@ def run(args):
                 # gradient dominated the norm.
                 if debug_grad_fn is None:
                     debug_grad_fn = make_fm_grad_fn(model, mel_fn=mel_fn)
+                # replay with the SAME noise draw as the clipped step:
+                # train_step folds with the pre-increment state.batch_idx
+                # (train_step.py:82), which after the step is batch_idx - 1
                 bad_grads = debug_grad_fn(
                     state.params,
                     device_batch,
-                    jax.random.fold_in(step_rng, params.batch_idx_train),
+                    jax.random.fold_in(step_rng, int(state.batch_idx) - 1),
                 )
                 for name, prop, grms in dominant_parameters(
                     bad_grads, param_rms=state.opt_state.param_rms

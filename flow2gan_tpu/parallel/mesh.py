@@ -91,11 +91,9 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: _put_global(x, sh), tree)
 
 
-def process_local_batch_slice(global_batch_size: int) -> slice:
-    """The slice of a global batch this host should feed (multi-host data
-    loading): contiguous per-process shard."""
-    n = jax.process_count()
-    assert global_batch_size % n == 0, (global_batch_size, n)
-    per = global_batch_size // n
-    i = jax.process_index()
-    return slice(i * per, (i + 1) * per)
+# NOTE: multi-host data feeding convention — the DataLoader yields this
+# process's shard (1/process_count of the global batch; trainers divide
+# --batch-size by process_count) and _put_global assembles the global
+# jax.Array from those host-local shards. There is deliberately no
+# batch-slicing helper here: slicing an already-process-sharded loader
+# batch again would double-shard.

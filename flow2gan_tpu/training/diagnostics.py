@@ -281,6 +281,42 @@ def output_perturbations():
     return nn.intercept_methods(_output_perturb_interceptor)
 
 
+class BackwardTables:
+    """Shared driver for the backward-side diagnostic tables used by both
+    trainers' --print-diagnostics: builds the zero-perturbation tree lazily,
+    jits one grad of the loss w.r.t. (params, perturbations), and feeds a
+    DiagnosticsCollector with `{param}.param_grad` and `{module}.grad`
+    entries (reference diagnostics.py:129 tag taxonomy).
+
+    init_fn() -> the 'perturbations' variable collection of one forward
+      (called once under the output_perturbations interceptor; return the
+      collection itself — zeros are derived here).
+    loss_fn(params, perturbations, *args) -> scalar loss; traced with the
+      interceptor active, so every module output picks up its tap.
+    """
+
+    def __init__(self, init_fn, loss_fn):
+        self._init_fn = init_fn
+
+        def _wrapped(params, perts, *args):
+            with output_perturbations():
+                return loss_fn(params, perts, *args)
+
+        self._grad_fn = jax.jit(jax.grad(_wrapped, argnums=(0, 1)))
+        self._zero_perts = None
+
+    def collect(self, diag: "DiagnosticsCollector", params, *args) -> None:
+        import jax.numpy as jnp
+
+        if self._zero_perts is None:
+            with output_perturbations():
+                perts = self._init_fn()
+            self._zero_perts = jax.tree.map(jnp.zeros_like, perts)
+        param_grads, out_grads = self._grad_fn(params, self._zero_perts, *args)
+        diag.collect_params(param_grads, prefix="param/", suffix=".param_grad")
+        diag.collect_output_grads(out_grads)
+
+
 class ScalarDiagnostic:
     """Activation-value vs gradient histogram for one nonlinearity — the JAX
     equivalent of the reference's ScalarDiagnostic backward-hook histograms

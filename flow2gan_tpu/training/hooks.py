@@ -121,6 +121,8 @@ def find_nonfinite_module_outputs(intermediates, limit: int = 20):
     are listed after, for context."""
     import numpy as np
 
+    import re
+
     bad_paths = []
     flat = jax.tree_util.tree_flatten_with_path(intermediates)[0]
     for path, leaf in flat:
@@ -130,11 +132,12 @@ def find_nonfinite_module_outputs(intermediates, limit: int = 20):
             name = "/".join(
                 str(getattr(k, "key", getattr(k, "idx", "?"))) for k in path
             )
-            for suffix in ("/__call__/0", "/__call__"):
-                if name.endswith(suffix):
-                    name = name[: -len(suffix)]
-                    break
-            bad_paths.append(name)
+            # strip ANY call-index suffix (a module invoked per Euler step
+            # captures __call__/0, __call__/1, ...), collapsing all calls of
+            # one module to its scope so the descendant check below works
+            name = re.sub(r"/__call__(/\d+)?$", "", name)
+            if name not in bad_paths:
+                bad_paths.append(name)
             if len(bad_paths) >= limit:
                 break
     # birth-site candidates: non-finite modules with no non-finite descendant

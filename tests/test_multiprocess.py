@@ -119,7 +119,10 @@ def test_two_process_distributed(tmp_path):
     worker_py.write_text(WORKER)
 
     env = dict(os.environ)
-    env["PYTHONPATH"] = f"{REPO}:" + env.get("PYTHONPATH", "")
+    # repo path ONLY: inheriting the ambient TPU-plugin sitecustomize path
+    # can block a fresh jax client forever after a previous client died
+    # (see .claude/skills/verify/SKILL.md, round-3 learnings)
+    env["PYTHONPATH"] = str(REPO)
     env["JAX_PLATFORMS"] = "cpu"
     # drop any inherited device-count flag (conftest sets 8 for the parent;
     # a later duplicate would win over our 4)
