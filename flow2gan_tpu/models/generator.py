@@ -227,22 +227,53 @@ class BaseAudioGenerator(nn.Module):
         n_timesteps: int = 1,
         clamp_pred: bool = False,
         train: bool = False,
+        scan_solve: bool = False,
     ) -> jnp.ndarray:
         """Fixed-grid Euler ODE solve (endpoint form). Reference generator.py:236-271.
 
-        The loop is unrolled (n_timesteps is 1/2/4) — this is the same graph
-        the GAN stage differentiates through, in one jit.
+        `scan_solve=False` unrolls the loop (n_timesteps is 1/2/4) — best for
+        forward-only inference where XLA specializes each step's constants.
+        `scan_solve=True` rolls the steps into one `nn.scan`, so the traced
+        program holds ONE copy of the model regardless of n_timesteps — this
+        is what the GAN G-step differentiates through at n>1: the unrolled
+        2-step backward graph is a ~30 MB MLIR program that can OOM the AOT
+        compiler, while the scanned one stays near the 1-step size. For
+        train=False both paths are step-for-step the same ops (parity-tested);
+        for train=True the per-step RNG folds differ (both are valid draws).
         """
-        x = noise
         dt = 1.0 / n_timesteps
-        for step in range(n_timesteps):
-            t = step * dt
-            t_vec = jnp.full((noise.shape[0],), t, noise.dtype)
-            pred = self.process_model(
+        if not scan_solve or n_timesteps == 1:
+            x = noise
+            for step in range(n_timesteps):
+                t = step * dt
+                t_vec = jnp.full((noise.shape[0],), t, noise.dtype)
+                pred = self.process_model(
+                    x=x, cond=cond, t=t_vec, audio_lens=audio_lens, train=train
+                )
+                vt = (pred - x) / (1.0 - t) if self.pred_x1 else pred
+                x = x + vt * dt
+            if clamp_pred:
+                x = jnp.clip(x, -1.0, 1.0)
+            return x
+
+        ts = jnp.arange(n_timesteps, dtype=noise.dtype) * dt
+
+        def body(mdl, x, t):
+            t_vec = jnp.full((x.shape[0],), t, x.dtype)
+            pred = mdl.process_model(
                 x=x, cond=cond, t=t_vec, audio_lens=audio_lens, train=train
             )
-            vt = (pred - x) / (1.0 - t) if self.pred_x1 else pred
-            x = x + vt * dt
+            vt = (pred - x) / (1.0 - t) if mdl.pred_x1 else pred
+            return x + vt * dt, None
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "noise": True, "gate": True, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+        )
+        x, _ = scan(self, noise, ts)
         if clamp_pred:
             x = jnp.clip(x, -1.0, 1.0)
         return x
@@ -296,6 +327,7 @@ class MelAudioGenerator(BaseAudioGenerator):
         n_timesteps: int = 1,
         clamp_pred: bool = False,
         train: bool = False,
+        scan_solve: bool = False,
     ) -> jnp.ndarray:
         """Euler-solve waveforms from mels. cond: (B, n_mels, frames) -> (B, L).
 
@@ -315,6 +347,7 @@ class MelAudioGenerator(BaseAudioGenerator):
             n_timesteps=n_timesteps,
             clamp_pred=clamp_pred,
             train=train,
+            scan_solve=scan_solve,
         )
 
     def infer_from_noise(
@@ -325,6 +358,7 @@ class MelAudioGenerator(BaseAudioGenerator):
         n_timesteps: int = 1,
         clamp_pred: bool = False,
         train: bool = False,
+        scan_solve: bool = False,
     ) -> jnp.ndarray:
         """Deterministic variant of `infer` with caller-provided x0 noise —
         used by parity tests and seeded generation."""
@@ -336,6 +370,7 @@ class MelAudioGenerator(BaseAudioGenerator):
             n_timesteps=n_timesteps,
             clamp_pred=clamp_pred,
             train=train,
+            scan_solve=scan_solve,
         )
 
 
@@ -385,6 +420,7 @@ class TokenAudioGenerator(BaseAudioGenerator):
         n_timesteps: int = 1,
         clamp_pred: bool = False,
         train: bool = False,
+        scan_solve: bool = False,
     ) -> jnp.ndarray:
         length = tokens.shape[-1] * self.token_hop_length
         cond = self._encode_cond(tokens, train)
@@ -400,4 +436,5 @@ class TokenAudioGenerator(BaseAudioGenerator):
             n_timesteps=n_timesteps,
             clamp_pred=clamp_pred,
             train=train,
+            scan_solve=scan_solve,
         )

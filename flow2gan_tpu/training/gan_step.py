@@ -61,11 +61,19 @@ def init_gan_train_state(
 
 
 def _rollout(generator, params_g, cond, audio_lens, n_timesteps, rng, train,
-             length, extra_vars=None, capture_filter=None):
+             length, extra_vars=None, capture_filter=None, scan_solve=False):
     """Returns (fake, intermediates). `extra_vars`: extra generator
     collections (the diagnostics 'perturbations' tap); `capture_filter`:
     flax capture_intermediates filter (the diagnostics act-vs-grad pass).
-    Both are None on the jitted hot path; intermediates is then None."""
+    Both are None on the jitted hot path; intermediates is then None.
+
+    `scan_solve=True` rolls the n-step Euler solve into one nn.scan so the
+    differentiated G-step program holds a single model copy (the unrolled
+    2/4-step backward graphs are 30-60 MB of MLIR and can OOM the AOT
+    compiler). Forced off under the diagnostics taps, which need per-step
+    (unstacked) intermediates."""
+    if extra_vars or capture_filter is not None:
+        scan_solve = False
     rngs = {"noise": jax.random.fold_in(rng, 0)}
     if train:
         rngs["gate"] = jax.random.fold_in(rng, 1)
@@ -80,6 +88,7 @@ def _rollout(generator, params_g, cond, audio_lens, n_timesteps, rng, train,
         train=train,
         method="infer",
         rngs=rngs,
+        scan_solve=scan_solve,
     )
     inter = None
     if capture_filter is not None:
@@ -106,11 +115,20 @@ def make_gan_loss_fns(
     n_timesteps: int = 1,
     scales: GANLossScales = GANLossScales(),
     remat_rollout: bool = False,
+    scan_rollout: Optional[bool] = None,
 ):
     """The two GAN objectives as pure functions, shared by the jitted train
     steps and the debugging surfaces (dominant-grad ranking, backward
     diagnostics). Returns (d_loss_fn, g_loss_fn), each
-    (own_params, other_params, batch, rng) -> (loss, metrics)."""
+    (own_params, other_params, batch, rng) -> (loss, metrics).
+
+    `scan_rollout` (default None = auto: on when n_timesteps > 1) scans the
+    G-step's Euler rollout instead of unrolling it — one model copy in the
+    differentiated program. The D-step rollout stays unrolled: it is
+    forward-only under stop_gradient, where the unrolled form compiles fine
+    and lets XLA specialize per-step constants."""
+    if scan_rollout is None:
+        scan_rollout = n_timesteps > 1
 
     def d_loss_fn(params_d, params_g, batch, rng):
         cond = mel_fn(batch["audio"])
@@ -146,6 +164,7 @@ def make_gan_loss_fns(
                 generator, params_g, cond, batch["audio_lens"], n_timesteps, rng,
                 train=True, length=batch["audio"].shape[-1],
                 extra_vars=extra_vars_g, capture_filter=capture_filter,
+                scan_solve=scan_rollout,
             )
 
         if remat_rollout:
@@ -219,6 +238,7 @@ def make_gan_steps(
     scales: GANLossScales = GANLossScales(),
     donate: bool = True,
     remat_rollout: bool = False,
+    scan_rollout: Optional[bool] = None,
     lr_scale_g=None,
 ):
     """Returns (d_step, g_step), each (state, batch, rng) -> (state, metrics).
@@ -242,6 +262,7 @@ def make_gan_steps(
     d_loss_fn, g_loss_fn = make_gan_loss_fns(
         generator, discriminators, mel_fn, mel_recon_fns,
         n_timesteps=n_timesteps, scales=scales, remat_rollout=remat_rollout,
+        scan_rollout=scan_rollout,
     )
 
     donate_args = (0,) if donate else ()
