@@ -127,3 +127,27 @@ def test_injected_inf_localized_to_module(tiny_gan):
     poisoned_scope = names[target].rsplit("/", 1)[0]
     owner = poisoned_scope.rsplit("/", 1)[-1]
     assert any(owner in b for b in bad), (owner, bad)
+
+
+def test_g_loss_auto_scans_rollout_at_multistep(tiny_gan):
+    """make_gan_loss_fns defaults to the scanned Euler rollout when
+    n_timesteps > 1 (one generator body in the differentiated program —
+    the compile-size fix for the stage-4 G-step) and to the unrolled
+    form at n_timesteps == 1."""
+    generator, discs, mel_fn, mrf, params_g, params_d, batch = tiny_gan
+    from flow2gan_tpu.training.gan_step import make_gan_loss_fns
+
+    rng = jax.random.PRNGKey(3)
+
+    def has_scan(n, **kw):
+        _, g_loss_fn = make_gan_loss_fns(
+            generator, discs, mel_fn, mrf, n_timesteps=n, **kw
+        )
+        jaxpr = jax.make_jaxpr(
+            lambda pg: g_loss_fn(pg, params_d, batch, rng)[0]
+        )(params_g)
+        return "scan" in str(jaxpr.jaxpr)
+
+    assert has_scan(2)
+    assert not has_scan(1)
+    assert not has_scan(2, scan_rollout=False)
