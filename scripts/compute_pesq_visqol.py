@@ -16,6 +16,14 @@ Writes per-file metrics.json + an averaged summary line.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+# scripts/ is the script dir on sys.path, not the repo root; make the
+# package importable regardless of cwd/PYTHONPATH (also inherited by
+# ProcessPoolExecutor workers via sys.path pickling at spawn)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import logging

@@ -8,6 +8,14 @@ the lhotse dependency; the manifests it writes are lhotse-compatible
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+# scripts/ is the script dir on sys.path, not the repo root; make the
+# package importable regardless of cwd/PYTHONPATH (also inherited by
+# ProcessPoolExecutor workers via sys.path pickling at spawn)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import logging
 from pathlib import Path
