@@ -63,6 +63,7 @@ from flow2gan_tpu.utils import (
     plot_feature,
     setup_logger,
     str2bool,
+    tb_add_audio,
     to_float_tuple,
 )
 
@@ -202,14 +203,8 @@ def compute_validation_loss(params, eval_step, state, valid_dls, mesh, rng):
 
 
 def _tb_add_audio(tb_writer, tag, wav, step, sr):
-    """tensorboardX add_audio needs the optional `soundfile` package; degrade
-    to a one-time warning instead of crashing validation when it's absent."""
-    try:
-        tb_writer.add_audio(tag, wav, step, sr)
-    except (ImportError, ModuleNotFoundError) as e:
-        if not getattr(_tb_add_audio, "_warned", False):
-            _tb_add_audio._warned = True
-            logging.warning(f"TB audio dumps disabled ({e}); skipping add_audio")
+    """Audio dump that works without `soundfile` (utils.tb_add_audio)."""
+    tb_add_audio(tb_writer, tag, wav, step, sr)
 
 
 def save_test_samples(params, model, state, mel_fn, test_batch, tb_writer):

@@ -291,3 +291,45 @@ def plot_feature(spectrogram: np.ndarray) -> np.ndarray:
     data = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
     plt.close(fig)
     return data
+
+
+def tb_add_audio(tb_writer, tag: str, wav, step: int, sample_rate: int) -> None:
+    """TensorBoard audio dump that works without `soundfile`.
+
+    tensorboardX's `add_audio` encodes through the optional soundfile
+    package (absent in this image). Fall back to encoding 16-bit PCM WAV
+    with the stdlib `wave` module and emitting the Summary.Audio proto
+    directly — same TB record, no extra dependency. Replaces the
+    degrade-to-warning behavior (reference dumps audio unconditionally,
+    bin/pretrain.py:608-680).
+    """
+    import numpy as np
+
+    try:
+        tb_writer.add_audio(tag, np.asarray(wav), step, sample_rate)
+        return
+    except (ImportError, ModuleNotFoundError):
+        pass
+    import io
+    import wave as _wave
+
+    from tensorboardX.proto.summary_pb2 import Summary
+
+    pcm = np.clip(np.asarray(wav, np.float32).reshape(-1), -1.0, 1.0)
+    buf = io.BytesIO()
+    w = _wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(sample_rate)
+    w.writeframes((pcm * 32767.0).astype("<i2").tobytes())
+    w.close()
+    audio = Summary.Audio(
+        sample_rate=sample_rate,
+        num_channels=1,
+        length_frames=pcm.shape[0],
+        encoded_audio_string=buf.getvalue(),
+        content_type="audio/wav",
+    )
+    tb_writer._get_file_writer().add_summary(
+        Summary(value=[Summary.Value(tag=tag, audio=audio)]), step
+    )

@@ -342,3 +342,40 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", None)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def test_tb_add_audio_without_soundfile(tmp_path):
+    """tb_add_audio encodes PCM WAV with stdlib wave and writes a real
+    Summary.Audio record when tensorboardX's soundfile-backed add_audio is
+    unavailable (this image has no soundfile)."""
+    import numpy as np
+    from tensorboardX import SummaryWriter
+
+    from flow2gan_tpu.utils import tb_add_audio
+
+    w = SummaryWriter(str(tmp_path))
+    pcm = (0.1 * np.sin(np.arange(2400) * 0.1)).astype(np.float32)
+    tb_add_audio(w, "test/audio", pcm, 7, 24000)
+    w.close()
+
+    # read the event file back and find the audio record
+    from tensorboardX.proto import event_pb2
+    import struct
+
+    fn = next(p for p in tmp_path.iterdir() if "tfevents" in p.name)
+    data = fn.read_bytes()
+    found = False
+    off = 0
+    while off < len(data):
+        (length,) = struct.unpack_from("<Q", data, off)
+        off += 12  # u64 length + u32 len-crc
+        ev = event_pb2.Event()
+        ev.ParseFromString(data[off : off + length])
+        off += length + 4  # payload + u32 payload-crc
+        for v in ev.summary.value:
+            if v.tag == "test/audio" and v.HasField("audio"):
+                assert v.audio.sample_rate == 24000
+                assert v.audio.encoded_audio_string.startswith(b"RIFF")
+                assert v.audio.length_frames == 2400
+                found = True
+    assert found
