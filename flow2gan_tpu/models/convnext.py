@@ -394,6 +394,13 @@ class AudioConvNeXt(nn.Module):
         return cond
 
     def _pallas_enabled(self, flag, supported: bool) -> bool:
+        from flow2gan_tpu.ops import pallas_istft
+
+        if pallas_istft.is_disabled():
+            # traced inside loop control flow (scanned Euler rollout), where
+            # the custom call's buffers would be stack-allocated in scoped
+            # VMEM and can exceed the 16 MB limit — see pallas_istft.disabled
+            return False
         if flag == "auto":
             flag = jax.default_backend() == "tpu"
         return bool(flag) and supported

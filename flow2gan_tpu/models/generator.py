@@ -273,7 +273,14 @@ class BaseAudioGenerator(nn.Module):
             in_axes=0,
             out_axes=0,
         )
-        x, _ = scan(self, noise, ts)
+        # Inside the scan's while body the Pallas iSTFT's operands/results
+        # are stack-allocated in scoped VMEM by XLA:TPU and can exceed the
+        # 16 MB limit (observed at 44.1 kHz, batch 16); trace the body with
+        # the kernel disabled so it uses the XLA iSTFT (same numerics).
+        from flow2gan_tpu.ops import pallas_istft
+
+        with pallas_istft.disabled():
+            x, _ = scan(self, noise, ts)
         if clamp_pred:
             x = jnp.clip(x, -1.0, 1.0)
         return x

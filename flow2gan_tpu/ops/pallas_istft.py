@@ -19,6 +19,8 @@ mode on CPU and compiled on TPU.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 from typing import Optional
 
@@ -28,6 +30,33 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from flow2gan_tpu.ops.stft import _irdft_matrices, _istft_envelope, hann_window_np
+
+
+# Trace-time escape hatch: inside a lax.while/scan body, XLA:TPU stack-
+# allocates a tpu_custom_call's operands AND results in scoped VMEM (16 MB
+# limit on v5e). At 44.1 kHz shapes (e.g. batch 16, t_f 521, n_fft 256) the
+# combined buffers are ~16.8 MB, so compiling the scanned Euler rollout with
+# this kernel inside fails with "Ran out of memory in memory space vmem ...
+# allocating on stack". Callers that trace the kernel inside loop control
+# flow wrap the trace in `disabled()`; `_pallas_enabled` checks is_disabled()
+# and falls back to the XLA iSTFT (identical numerics, HBM-resident frames).
+_DISABLED: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "flow2gan_pallas_istft_disabled", default=False
+)
+
+
+@contextlib.contextmanager
+def disabled():
+    """Disable the Pallas iSTFT for any model traced inside this context."""
+    tok = _DISABLED.set(True)
+    try:
+        yield
+    finally:
+        _DISABLED.reset(tok)
+
+
+def is_disabled() -> bool:
+    return _DISABLED.get()
 
 
 def supported(n_fft: int, hop_length: int) -> bool:

@@ -57,3 +57,64 @@ def test_pallas_istft_differentiable():
     )(spec)
     scale = np.abs(np.asarray(g_xla)).max() + 1e-9
     assert np.abs(np.asarray(g_pallas - g_xla)).max() / scale < 1e-5
+
+
+def test_pallas_istft_disabled_context():
+    """The trace-time disable flag (used while tracing scanned rollouts,
+    where the custom call's buffers would be stack-allocated in scoped VMEM)
+    nests and resets."""
+    from flow2gan_tpu.ops import pallas_istft
+
+    assert not pallas_istft.is_disabled()
+    with pallas_istft.disabled():
+        assert pallas_istft.is_disabled()
+        with pallas_istft.disabled():
+            assert pallas_istft.is_disabled()
+        assert pallas_istft.is_disabled()
+    assert not pallas_istft.is_disabled()
+
+
+def test_scanned_solve_traces_without_pallas_istft():
+    """At 44.1 kHz-like shapes the Pallas iSTFT inside the scanned Euler
+    rollout OOMs the TPU compiler's 16 MB scoped VMEM (operands/results of a
+    tpu_custom_call inside a while body are stack-allocated); the scan branch
+    of BaseAudioGenerator.solve must therefore trace the XLA iSTFT even when
+    use_pallas_istft is force-enabled, while the unrolled branch keeps the
+    kernel."""
+    import jax
+
+    from flow2gan_tpu.models import build_generator
+    from flow2gan_tpu.models.config import get_generator_config
+
+    cfg = get_generator_config("mel_24k_tiny")
+    cfg["n_ffts"] = (256, 128)
+    cfg["hop_lengths"] = (128, 128)
+    cfg["mel_n_fft"] = 512
+    cfg["mel_hop_length"] = 128
+    cfg["use_pallas_istft"] = True
+    model = build_generator(cfg)
+    B, L = 2, 4096
+    frames = L // cfg["mel_hop_length"]
+    rng = jax.random.PRNGKey(0)
+    cond = jax.random.normal(rng, (B, cfg["n_mels"], frames))
+    noise = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, L))
+    # init must run eagerly on CPU where the compiled kernel can't lower;
+    # the disable context covers that too (params are flag-independent)
+    from flow2gan_tpu.ops import pallas_istft
+
+    with pallas_istft.disabled():
+        params = model.init(
+            {"params": rng, "noise": rng, "gate": rng, "dropout": rng},
+            cond, noise, jnp.asarray([L, L]), train=True,
+        )
+
+    def run(scan):
+        return str(jax.make_jaxpr(
+            lambda p, n, c: model.apply(
+                p, n, c, n_timesteps=2, method="infer_from_noise",
+                scan_solve=scan)
+        )(params, noise, cond))
+
+    assert "tpu_custom_call" in run(False) or "pallas_call" in run(False)
+    scanned = run(True)
+    assert "tpu_custom_call" not in scanned and "pallas_call" not in scanned
