@@ -77,7 +77,56 @@ def measure(compute_dtype, batch=16, seconds=1.0, n_iters=100, n_timesteps=1,
     return audio_seconds / best
 
 
+def tunnel_preflight(raise_error=False):
+    """Fail fast (ONE JSON line, rc 2) when the axon TPU tunnel is down.
+
+    On this runtime the TPU is reached through a driver-owned relay
+    listening on 127.0.0.1:8082-8117; if that relay process is dead, the
+    first jax backend touch blocks FOREVER in the claim loop (observed:
+    a trainer froze mid-checkpoint-save, and every subsequent jax client
+    hung at init). A bench that hangs stalls the whole round, so probe
+    the relay ports with plain sockets before touching jax.
+    """
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # not the tunneled-TPU runtime
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "axon" not in plats:
+        return  # jax pinned to another backend; no claim will happen
+    import socket
+
+    for port in (8082, 8083, 8092, 8093, 8102, 8103, 8112, 8113):
+        s = socket.socket()
+        s.settimeout(2)
+        try:
+            s.connect(("127.0.0.1", port))
+            return  # relay alive
+        except OSError:
+            continue
+        finally:
+            s.close()
+    msg = (
+        "TPU tunnel relay down (no listener on 127.0.0.1:8082-8113) — "
+        "aborting instead of hanging in the axon claim; see "
+        ".claude/skills/verify/SKILL.md"
+    )
+    if raise_error:
+        raise RuntimeError(msg)
+    print(
+        json.dumps(
+            {
+                "metric": "xrt_24k_1step_b16",
+                "value": 0.0,
+                "unit": "x_realtime",
+                "vs_baseline": 0.0,
+                "error": msg,
+            }
+        )
+    )
+    sys.exit(2)
+
+
 def main():
+    tunnel_preflight()
     # Host CPU contention throttles the enqueue pipeline and silently
     # halves reported xRT (measured: 44k 2.3k busy vs 5.1k idle) — flag it.
     load = os.getloadavg()[0] / max(os.cpu_count() or 1, 1)

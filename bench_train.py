@@ -15,6 +15,9 @@ import jax.numpy as jnp
 
 
 def main(batch=256, seconds=1.5, n_steps=20):
+    from bench import tunnel_preflight
+
+    tunnel_preflight()
     from flow2gan_tpu.models import build_generator, get_generator_config
     from flow2gan_tpu.ops.mel import LogMelSpectrogram
     from flow2gan_tpu.training.optim import eden2_lr, scaled_adam
