@@ -7,8 +7,19 @@ cd /root/repo
 R=/tmp/r3_44k
 LOG=$R/drive.log
 
-stage=${1:-2}
+stage=${1:-1}
 stop=${2:-6}
+mkdir -p $R
+
+if [ "$stage" -le 1 ] && [ "$stop" -ge 1 ]; then
+  # 44.1 kHz rehearsal corpus: the bundled 24 kHz reference test audio
+  # resampled to 44.1 kHz, same crop/repeat recipe as results/r3_rehearsal
+  # (109 dense 2 s train crops x30 repeats = 3270, 7-file test split).
+  python scripts/make_rehearsal_corpus.py \
+    --corpus-dir $R/LibriTTS --data-dir $R/manifests \
+    --resample-to 44100 --train-repeat 30 \
+    2>&1 | tee -a $LOG
+fi
 
 if [ "$stage" -le 2 ] && [ "$stop" -ge 2 ]; then
   ./run_libritts.sh --stage 2 --stop-stage 3 \

@@ -36,7 +36,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from flow2gan_tpu.data.audio_io import read_wav, write_wav  # noqa: E402
+from flow2gan_tpu.data.audio_io import read_wav, resample, write_wav  # noqa: E402
 from flow2gan_tpu.data.dataset import (  # noqa: E402
     Recording,
     write_recording_manifest,
@@ -59,6 +59,9 @@ def get_parser():
     p.add_argument("--train-repeat", type=int, default=1)
     p.add_argument("--n-test", type=int, default=6,
                    help="contiguous test crops cut from the longest source")
+    p.add_argument("--resample-to", type=int, default=None,
+                   help="resample all source audio to this rate before "
+                        "cropping (e.g. 44100 for the 44k rehearsal corpus)")
     return p
 
 
@@ -71,6 +74,9 @@ def main():
     for w in wavs:
         audio, sr = read_wav(w)  # (C, T)
         mono = audio.mean(axis=0) if audio.ndim == 2 else audio
+        if args.resample_to is not None and sr != args.resample_to:
+            mono = resample(mono, sr, args.resample_to)
+            sr = args.resample_to
         loaded.append((w, mono.astype(np.float32), sr))
     loaded.sort(key=lambda t: -t[1].shape[-1])
     (long_path, long_audio, sr) = loaded[0]
