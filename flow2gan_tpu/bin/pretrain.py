@@ -65,6 +65,7 @@ from flow2gan_tpu.utils import (
     str2bool,
     tb_add_audio,
     to_float_tuple,
+    to_int_tuple,
 )
 
 
@@ -96,6 +97,16 @@ def get_parser():
     parser.add_argument("--train-dls-weights", type=str, default=None,
                         help="CSV of sampling weights, one per train manifest")
     parser.add_argument("--valid-recordings", type=str, required=False)
+    parser.add_argument("--test-recordings", type=str, default=None,
+                        help="recordings.jsonl[.gz] manifest of full-length "
+                        "test samples dumped to TensorBoard at each "
+                        "validation (reference bin/pretrain.py:722; falls "
+                        "back to the first validation batch when unset). "
+                        "The first loader batch (<=8 samples) is dumped.")
+    parser.add_argument("--save-infer-steps", type=str, default="2,4,8",
+                        help="Euler step counts for the TB test-sample "
+                        "dumps, comma-separated (reference "
+                        "--save-infer-steps, bin/pretrain.py:213)")
     parser.add_argument("--num-workers", type=int, default=8)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--print-diagnostics", type=str2bool, default=False)
@@ -202,42 +213,44 @@ def compute_validation_loss(params, eval_step, state, valid_dls, mesh, rng):
     return tot
 
 
-def _tb_add_audio(tb_writer, tag, wav, step, sr):
-    """Audio dump that works without `soundfile` (utils.tb_add_audio)."""
-    tb_add_audio(tb_writer, tag, wav, step, sr)
-
-
 def save_test_samples(params, model, state, mel_fn, test_batch, tb_writer):
-    """Generate audio at 2/4/8 steps for TB (reference bin/pretrain.py:608-680)."""
+    """Generate audio per --save-infer-steps for every test sample and dump
+    audio + mel-spectrogram images to TB (reference bin/pretrain.py:608-680,
+    tags valid/test_audio_{i}_gt / valid/test_audio_{i}_step_{k})."""
     if tb_writer is None or test_batch is None:
         return
-    audio = jnp.asarray(test_batch["audio"][:1])
+    audio = jnp.asarray(test_batch["audio"])
+    lens = np.asarray(test_batch["audio_lens"])
     cond = mel_fn(audio)
     sr = params.sampling_rate
-    _tb_add_audio(
-        tb_writer, "test/ground_truth", np.asarray(audio)[0],
-        params.batch_idx_train, sr,
-    )
-    for n_steps in (2, 4, 8):
+    step_idx = params.batch_idx_train
+
+    def dump(tag, wav):
+        tb_add_audio(tb_writer, tag, wav, step_idx, sr)
+        mel_img = np.asarray(mel_fn(jnp.asarray(wav[None])))[0]
+        tb_writer.add_image(
+            f"{tag}_spec", plot_feature(mel_img), step_idx, dataformats="HWC"
+        )
+
+    gt = np.asarray(audio)
+    for i in range(gt.shape[0]):
+        dump(f"valid/test_audio_{i}_gt", gt[i, : lens[i]])
+    for n_steps in to_int_tuple(params.save_infer_steps):
         wav = model.apply(
             {"params": state.params},
             cond,
+            audio_lens=jnp.asarray(test_batch["audio_lens"]),
             n_timesteps=n_steps,
             clamp_pred=True,
+            # keep the compiled program one loop body at depth > 1 (long
+            # padded audio unrolled k times compiles very slowly on chip)
+            scan_solve=n_steps > 1,
             method="infer",
             rngs={"noise": jax.random.PRNGKey(0)},
         )
-        wav = np.asarray(wav)[0]
-        _tb_add_audio(
-            tb_writer, f"test/gen_{n_steps}step", wav, params.batch_idx_train, sr
-        )
-        mel_img = np.asarray(mel_fn(jnp.asarray(wav[None])))[0]
-        tb_writer.add_image(
-            f"test/mel_{n_steps}step",
-            plot_feature(mel_img),
-            params.batch_idx_train,
-            dataformats="HWC",
-        )
+        wav = np.asarray(wav)
+        for i in range(wav.shape[0]):
+            dump(f"valid/test_audio_{i}_step_{n_steps}", wav[i, : lens[i]])
 
 
 def run(args):
@@ -315,7 +328,18 @@ def run(args):
             for recs in load_manifests(params.valid_recordings)
         ]
     test_batch = None
-    if valid_dls:
+    if params.test_recordings:
+        test_dl = build_data_loader(
+            read_recording_manifest(params.test_recordings),
+            sampling_rate=cfg.sampling_rate,
+            batch_size=8,
+            num_workers=params.num_workers,
+            train=False,
+            duration=None,  # full-length samples (reference test_ds)
+            apply_effects=False,
+        )
+        test_batch = next(iter(test_dl))
+    elif valid_dls:
         test_batch = next(iter(valid_dls[0]))
 
     # ---- model / optimizer state

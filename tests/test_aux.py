@@ -379,3 +379,81 @@ def test_tb_add_audio_without_soundfile(tmp_path):
                 assert v.audio.length_frames == 2400
                 found = True
     assert found
+
+
+def test_save_test_samples_tags_and_lengths(tmp_path):
+    """save_test_samples dumps per-sample GT + per-step audio/spec with the
+    reference's TB tag taxonomy (ref bin/pretrain.py:608-680) and trims each
+    sample to its true length; --save-infer-steps selects the step counts."""
+    import struct
+    from types import SimpleNamespace
+
+    from tensorboardX import SummaryWriter
+    from tensorboardX.proto import event_pb2
+
+    from flow2gan_tpu.bin.pretrain import save_test_samples
+    from flow2gan_tpu.models import build_generator, get_generator_config
+    from flow2gan_tpu.ops import LogMelSpectrogram
+    from flow2gan_tpu.utils import AttributeDict
+
+    cfg = get_generator_config("mel_24k_tiny")
+    model = build_generator(cfg)
+    mel_fn = LogMelSpectrogram(
+        sampling_rate=cfg.sampling_rate,
+        n_fft=cfg.mel_n_fft,
+        hop_length=cfg.mel_hop_length,
+        n_mels=cfg.n_mels,
+    )
+    B, L = 2, 2048
+    audio = 0.1 * np.random.RandomState(0).randn(B, L).astype(np.float32)
+    lens = np.asarray([L, L - 300], np.int32)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "noise": rng, "gate": rng, "dropout": rng},
+        mel_fn(jnp.asarray(audio)),
+        jnp.asarray(audio),
+        jnp.asarray(lens),
+        train=True,
+    )
+    params = AttributeDict(
+        {
+            "sampling_rate": cfg.sampling_rate,
+            "batch_idx_train": 17,
+            "save_infer_steps": "1,2",
+        }
+    )
+    state = SimpleNamespace(params=variables["params"])
+    w = SummaryWriter(str(tmp_path))
+    save_test_samples(
+        params, model, state, mel_fn,
+        {"audio": audio, "audio_lens": lens}, w,
+    )
+    w.close()
+
+    audio_frames = {}  # tag -> length_frames
+    image_tags = set()
+    fn = next(p for p in tmp_path.iterdir() if "tfevents" in p.name)
+    data = fn.read_bytes()
+    off = 0
+    while off < len(data):
+        (length,) = struct.unpack_from("<Q", data, off)
+        off += 12
+        ev = event_pb2.Event()
+        ev.ParseFromString(data[off : off + length])
+        off += length + 4
+        for v in ev.summary.value:
+            if v.HasField("audio"):
+                audio_frames[v.tag] = v.audio.length_frames
+            elif v.HasField("image"):
+                image_tags.add(v.tag)
+
+    for i, n in ((0, L), (1, L - 300)):
+        for tag in (
+            f"valid/test_audio_{i}_gt",
+            f"valid/test_audio_{i}_step_1",
+            f"valid/test_audio_{i}_step_2",
+        ):
+            assert audio_frames.get(tag) == n, (tag, audio_frames)
+            assert f"{tag}_spec" in image_tags
+    # only the requested step counts were dumped
+    assert not any("step_4" in t or "step_8" in t for t in audio_frames)
