@@ -77,7 +77,9 @@ def measure(compute_dtype, batch=16, seconds=1.0, n_iters=100, n_timesteps=1,
     return audio_seconds / best
 
 
-def tunnel_preflight(raise_error=False):
+def tunnel_preflight(
+    raise_error=False, metric="xrt_24k_1step_b16", unit="x_realtime"
+):
     """Fail fast (ONE JSON line, rc 2) when the axon TPU tunnel is down.
 
     On this runtime the TPU is reached through a driver-owned relay
@@ -114,9 +116,9 @@ def tunnel_preflight(raise_error=False):
     print(
         json.dumps(
             {
-                "metric": "xrt_24k_1step_b16",
+                "metric": metric,
                 "value": 0.0,
-                "unit": "x_realtime",
+                "unit": unit,
                 "vs_baseline": 0.0,
                 "error": msg,
             }

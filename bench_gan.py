@@ -19,6 +19,11 @@ import jax.numpy as jnp
 
 
 def main(batch=None, seconds=1.5, n_timesteps=2, n_pairs=5):
+    from bench import tunnel_preflight
+
+    tunnel_preflight(
+        metric=f"gan_dg_pairs_per_sec_b{batch or 'auto'}", unit="pairs_per_sec"
+    )
     if batch is None:
         # the G-step graph (remat rollout + MPD/MRD + mel scales) can OOM the
         # TPU compile service at large batch; fall back and report what ran

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 def main(batch=256, seconds=1.5, n_steps=20):
     from bench import tunnel_preflight
 
-    tunnel_preflight()
+    tunnel_preflight(
+        metric=f"fm_train_steps_per_sec_b{batch}", unit="steps_per_sec"
+    )
     from flow2gan_tpu.models import build_generator, get_generator_config
     from flow2gan_tpu.ops.mel import LogMelSpectrogram
     from flow2gan_tpu.training.optim import eden2_lr, scaled_adam

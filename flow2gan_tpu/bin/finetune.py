@@ -157,6 +157,46 @@ def load_generator_init(path: str, model, init_params, mel_fn):
     return ckpt.restore_params(init_params, tree)
 
 
+def _make_diag_objective(
+    generator, discriminators, mel_fn, mel_recon_fns, scales, n_timesteps
+):
+    """G objective + perturbation-tap rollout shared by every finetune
+    diagnostics surface (backward tables, scalar act-vs-grad pass) — ONE
+    place to keep the diagnostics rollouts in sync with the trained
+    objective (new rng streams / rollout kwargs get added here only).
+
+    Returns (g_loss_fn, rollout_perturbations); the rollout must be called
+    under whichever tap interceptor the caller uses (output_perturbations /
+    diagnostic_perturbations) and returns the un-zeroed 'perturbations'
+    collection of one train-mode rollout."""
+    from flow2gan_tpu.training.gan_step import make_gan_loss_fns
+
+    _, g_loss_fn = make_gan_loss_fns(
+        generator, discriminators, mel_fn, mel_recon_fns,
+        n_timesteps=n_timesteps, scales=scales,
+    )
+
+    def rollout_perturbations(params_g, batch, rng):
+        _, mut = generator.apply(
+            {"params": params_g},
+            mel_fn(batch["audio"]),
+            audio_lens=batch["audio_lens"],
+            n_timesteps=n_timesteps,
+            clamp_pred=False,
+            train=True,
+            method="infer",
+            rngs={
+                "noise": rng,
+                "gate": jax.random.fold_in(rng, 1),
+                "dropout": jax.random.fold_in(rng, 2),
+            },
+            mutable=["perturbations"],
+        )
+        return mut["perturbations"]
+
+    return g_loss_fn, rollout_perturbations
+
+
 def _run_scalar_diagnostics(
     generator, discriminators, mel_fn, mel_recon_fns, params, scales,
     state, device_batch, step_rng,
@@ -164,38 +204,30 @@ def _run_scalar_diagnostics(
     """Nonlinearity activation-vs-gradient histograms through the FULL G
     objective (rollout + discriminators + mel-recon) — finetune parity with
     pretrain's ScalarDiagnostic pass (reference diagnostics.py:337-511,
-    attached by finetune at ref bin/finetune.py:633-656)."""
+    attached by finetune at ref bin/finetune.py:633-656).
+
+    Runs a 1-step rollout regardless of --n-timesteps: the shared
+    perturbation tap sums dL/d(act) over every Euler step while
+    capture_intermediates keeps per-call activations, so only a single-call
+    rollout pairs each activation with exactly its own gradient (a k-step
+    pass would pair step-0 activations with step-summed gradients)."""
     from flow2gan_tpu.models import norms as _norms
     from flow2gan_tpu.training.diagnostics import (
         collect_scalar_diagnostics,
         print_scalar_diagnostics,
     )
-    from flow2gan_tpu.training.gan_step import make_gan_loss_fns
 
-    _, g_loss_fn = make_gan_loss_fns(
-        generator, discriminators, mel_fn, mel_recon_fns,
-        n_timesteps=params.n_timesteps, scales=scales,
+    g_loss_fn, rollout_perts = _make_diag_objective(
+        generator, discriminators, mel_fn, mel_recon_fns, scales,
+        n_timesteps=1,
     )
     srng = jax.random.fold_in(step_rng, 999)
     prelu_filter = lambda m, _: type(m).__name__ == "PReLU"
     with _norms.diagnostic_perturbations():
         # zero-perturbation tree from one train-mode rollout
-        _, mut = generator.apply(
-            {"params": state.params_g},
-            mel_fn(device_batch["audio"]),
-            audio_lens=device_batch["audio_lens"],
-            n_timesteps=params.n_timesteps,
-            clamp_pred=False,
-            train=True,
-            method="infer",
-            rngs={
-                "noise": srng,
-                "gate": jax.random.fold_in(srng, 1),
-                "dropout": jax.random.fold_in(srng, 2),
-            },
-            mutable=["perturbations"],
+        perts = jax.tree.map(
+            jnp.zeros_like, rollout_perts(state.params_g, device_batch, srng)
         )
-        perts = jax.tree.map(jnp.zeros_like, mut["perturbations"])
 
         def ploss(p):
             loss, metrics = g_loss_fn(
@@ -518,33 +550,18 @@ def run(args):
                     from flow2gan_tpu.training.diagnostics import (
                         BackwardTables,
                     )
-                    from flow2gan_tpu.training.gan_step import (
-                        make_gan_loss_fns,
-                    )
 
-                    _, diag_g_loss = make_gan_loss_fns(
+                    diag_g_loss, diag_rollout_perts = _make_diag_objective(
                         generator, discriminators, mel_fn, mel_recon_fns,
-                        n_timesteps=params.n_timesteps, scales=scales,
+                        scales, n_timesteps=params.n_timesteps,
                     )
 
-                    def _diag_init():
-                        # one train-mode rollout with the collection mutable
-                        _, mut = generator.apply(
-                            {"params": state.params_g},
-                            mel_fn(device_batch["audio"]),
-                            audio_lens=device_batch["audio_lens"],
-                            n_timesteps=params.n_timesteps,
-                            clamp_pred=False,
-                            train=True,
-                            method="infer",
-                            rngs={
-                                "noise": step_rng,
-                                "gate": jax.random.fold_in(step_rng, 1),
-                                "dropout": jax.random.fold_in(step_rng, 2),
-                            },
-                            mutable=["perturbations"],
-                        )
-                        return mut["perturbations"]
+                    def _diag_init(
+                        _pg=state.params_g, _b=device_batch, _r=step_rng
+                    ):
+                        # BackwardTables calls this once under its
+                        # output_perturbations interceptor
+                        return diag_rollout_perts(_pg, _b, _r)
 
                     diag_backward = BackwardTables(
                         init_fn=_diag_init,

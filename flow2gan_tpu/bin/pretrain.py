@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from flow2gan_tpu.data.dataset import build_data_loader, read_recording_manifest
 from flow2gan_tpu.models import build_generator, get_generator_config
 from flow2gan_tpu.ops.mel import LogMelSpectrogram
-from flow2gan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from flow2gan_tpu.parallel.mesh import (
+    host_local,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from flow2gan_tpu.training import checkpoint as ckpt
 from flow2gan_tpu.training.diagnostics import (
     DiagnosticsCollector,
@@ -224,6 +229,10 @@ def save_test_samples(params, model, state, mel_fn, test_batch, tb_writer):
     cond = mel_fn(audio)
     sr = params.sampling_rate
     step_idx = params.batch_idx_train
+    # Multi-host: this runs on process 0 only, so the apply below must be a
+    # process-local program — extract an addressable copy of the (replicated)
+    # global params instead of feeding mesh-spanning arrays into it.
+    local_params = host_local(state.params)
 
     def dump(tag, wav):
         tb_add_audio(tb_writer, tag, wav, step_idx, sr)
@@ -232,12 +241,17 @@ def save_test_samples(params, model, state, mel_fn, test_batch, tb_writer):
             f"{tag}_spec", plot_feature(mel_img), step_idx, dataformats="HWC"
         )
 
-    gt = np.asarray(audio)
-    for i in range(gt.shape[0]):
-        dump(f"valid/test_audio_{i}_gt", gt[i, : lens[i]])
+    # Ground truth is constant across validations — dump it once (the
+    # reference re-writes it every call, ref bin/pretrain.py:654-663; that
+    # bloats the event file with duplicate audio/images over a long run).
+    if not getattr(params, "_gt_samples_dumped", False):
+        gt = np.asarray(audio)
+        for i in range(gt.shape[0]):
+            dump(f"valid/test_audio_{i}_gt", gt[i, : lens[i]])
+        params._gt_samples_dumped = True
     for n_steps in to_int_tuple(params.save_infer_steps):
         wav = model.apply(
-            {"params": state.params},
+            {"params": local_params},
             cond,
             audio_lens=jnp.asarray(test_batch["audio_lens"]),
             n_timesteps=n_steps,

@@ -445,9 +445,14 @@ def build_data_loader(
         max_load_times=max_load_times,
         seed=seed,
     )
-    fixed_length = (
-        int(duration * sampling_rate) if (train and duration is not None) else None
-    )
+    # Pad to the fixed crop length whenever a duration is given — for eval
+    # loaders too: multi-host validation assembles a GLOBAL batch from each
+    # process's local arrays (parallel/mesh.py shard_batch), so every process
+    # must pad to the same length or the global shapes diverge across hosts
+    # (each host would otherwise bucket to its own local max). Also makes
+    # eval_step compile exactly once. Full-length loaders (duration=None,
+    # bin/infer) keep bucketed dynamic padding.
+    fixed_length = int(duration * sampling_rate) if duration is not None else None
     return DataLoader(
         dataset,
         batch_size=batch_size,

@@ -91,6 +91,25 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: _put_global(x, sh), tree)
 
 
+def host_local(tree):
+    """Host-addressable copy of a (replicated) global pytree.
+
+    Multi-host, params live as global jax.Arrays spanning non-addressable
+    devices; running a process-local computation on them (e.g. the rank-0
+    TB sample dump) would either fail ("not fully addressable") or compile a
+    multi-host program only one process executes, deadlocking the others.
+    Params on the data mesh are fully replicated, so every process's first
+    addressable shard holds the complete value — extract it. Single-process
+    arrays pass through unchanged."""
+
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return x
+
+    return jax.tree.map(get, tree)
+
+
 # NOTE: multi-host data feeding convention — the DataLoader yields this
 # process's shard (1/process_count of the global batch; trainers divide
 # --batch-size by process_count) and _put_global assembles the global

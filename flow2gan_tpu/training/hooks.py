@@ -138,12 +138,13 @@ def find_nonfinite_module_outputs(intermediates, limit: int = 20):
             name = re.sub(r"/__call__(/\d+)?$", "", name)
             if name not in bad_paths:
                 bad_paths.append(name)
-            if len(bad_paths) >= limit:
-                break
-    # birth-site candidates: non-finite modules with no non-finite descendant
+    # birth-site candidates: non-finite modules with no non-finite descendant.
+    # Partition over the FULL set before truncating — limiting during
+    # collection (alphabetical flatten order) could drop the true birth site
+    # and promote downstream propagators to "leaf" status.
     def has_bad_descendant(p):
         return any(q != p and q.startswith(p + "/") for q in bad_paths)
 
     leaves = [p for p in bad_paths if not has_bad_descendant(p)]
     propagated = [p for p in bad_paths if has_bad_descendant(p)]
-    return leaves + propagated
+    return (leaves + propagated)[:limit]

@@ -295,6 +295,28 @@ def test_nonfinite_module_localization():
     assert not any("ok_layer" in b for b in bad), bad
 
 
+def test_nonfinite_localization_limit_keeps_birth_site():
+    """The report limit is applied AFTER the birth-site partition: a birth
+    site whose scope sorts alphabetically last must still be listed first,
+    even when more than `limit` alphabetically-earlier downstream scopes are
+    also non-finite."""
+    from flow2gan_tpu.training.hooks import find_nonfinite_module_outputs
+
+    inf = jnp.full((2,), jnp.inf)
+    # nested a -> a/b -> a/b/c, inf visible at every level; alphabetical
+    # flatten visits the enclosing (propagating) scopes first, so a
+    # collection-time limit of 2 would never reach the birth site a/b/c
+    inter = {
+        "a": {
+            "__call__": (inf,),
+            "b": {"__call__": (inf,), "c": {"__call__": (inf,)}},
+        }
+    }
+    bad = find_nonfinite_module_outputs(inter, limit=2)
+    assert bad[0] == "a/b/c", bad  # deepest scope = birth-site candidate
+    assert len(bad) == 2
+
+
 def test_guard_calls_intermediates_fn(caplog):
     from flow2gan_tpu.training.hooks import NonfiniteLossGuard
 

@@ -125,6 +125,20 @@ def test_eval_bucket_padding(wav_dir):
     assert batch["audio_lens"].max() <= batch["audio"].shape[1]
 
 
+def test_eval_loader_with_duration_pads_to_fixed_length(wav_dir):
+    """Eval loaders with a duration must pad every batch to the SAME fixed
+    length: multi-host validation assembles a global array from each
+    process's local batch, so per-host bucketed-max padding would give
+    divergent global shapes across hosts (and recompile eval_step per
+    bucket)."""
+    recs = scan_dir_to_recordings(wav_dir)
+    loader = build_data_loader(
+        recs, sampling_rate=24000, batch_size=2, train=False, duration=0.7
+    )
+    shapes = {b["audio"].shape[1] for b in loader}
+    assert shapes == {int(0.7 * 24000)}
+
+
 def test_high_epoch_seed_no_overflow(wav_dir):
     """Regression: (seed + 31*epoch)*1e6 + idx exceeded RandomState's 2**32
     limit at epoch >= 138 of the default recipe."""
