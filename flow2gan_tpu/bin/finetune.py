@@ -40,6 +40,7 @@ from flow2gan_tpu.training import checkpoint as ckpt
 from flow2gan_tpu.bin.pretrain import (
     restore_sampler_state,
     sampler_state_snapshot,
+    save_test_samples,
 )
 from flow2gan_tpu.training.env import get_env_info
 from flow2gan_tpu.training.err import raise_nonfinite_loss_error
@@ -98,6 +99,14 @@ def get_parser():
     parser.add_argument("--train-recordings", type=str, required=False)
     parser.add_argument("--train-dls-weights", type=str, default=None)
     parser.add_argument("--valid-recordings", type=str, required=False)
+    parser.add_argument(
+        "--test-recordings",
+        type=str,
+        required=False,
+        help="Recording manifest whose full-length samples are synthesized "
+        "at --n-timesteps and dumped to TB every validation (reference "
+        "bin/finetune.py:233,724); falls back to the first validation batch.",
+    )
     parser.add_argument("--num-workers", type=int, default=8)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--disc-loss-mp-scale", type=float, default=1.0)
@@ -275,6 +284,7 @@ def run(args):
         cfg.sampling_rate, gan_cfg.mel_recon_n_ffts, gan_cfg.mel_recon_n_mels
     )
 
+    params.sampling_rate = cfg.sampling_rate
     mesh = make_mesh(("data",))
     fixed_len = int(params.duration * cfg.sampling_rate)
     rng = jax.random.PRNGKey(params.seed)
@@ -433,6 +443,24 @@ def run(args):
             )
             for p in params.valid_recordings.split(",")
         ]
+    # TB sample dumps at the trained step count every validation (reference
+    # bin/finetune.py:724,804 — finetune dumps only n_timesteps, unlike
+    # pretrain's --save-infer-steps list)
+    params.save_infer_steps = str(params.n_timesteps)
+    test_batch = None
+    if params.test_recordings:
+        test_dl = build_data_loader(
+            read_recording_manifest(params.test_recordings),
+            sampling_rate=cfg.sampling_rate,
+            batch_size=8,
+            num_workers=params.num_workers,
+            train=False,
+            duration=None,  # full-length samples (reference test_ds)
+            apply_effects=False,
+        )
+        test_batch = next(iter(test_dl))
+    elif valid_dls:
+        test_batch = next(iter(valid_dls[0]))
 
     tb_writer = None
     if params.tensorboard and jax.process_index() == 0:
@@ -723,6 +751,10 @@ def run(args):
                 logging.info(f"Epoch {epoch}, validation: {vinfo}")
                 if tb_writer is not None:
                     vinfo.write_summary(tb_writer, "train/valid_", params.batch_idx_train)
+                    save_test_samples(
+                        params, generator, state.params_g, mel_fn,
+                        test_batch, tb_writer,
+                    )
 
         save_epoch(epoch)
     logging.info("Done!")

@@ -218,10 +218,12 @@ def compute_validation_loss(params, eval_step, state, valid_dls, mesh, rng):
     return tot
 
 
-def save_test_samples(params, model, state, mel_fn, test_batch, tb_writer):
-    """Generate audio per --save-infer-steps for every test sample and dump
-    audio + mel-spectrogram images to TB (reference bin/pretrain.py:608-680,
-    tags valid/test_audio_{i}_gt / valid/test_audio_{i}_step_{k})."""
+def save_test_samples(params, model, gen_params, mel_fn, test_batch, tb_writer):
+    """Generate audio per params.save_infer_steps for every test sample and
+    dump audio + mel-spectrogram images to TB (reference bin/pretrain.py:608-680,
+    tags valid/test_audio_{i}_gt / valid/test_audio_{i}_step_{k}). Shared by
+    finetune, which dumps at its trained step count (ref bin/finetune.py:779-845).
+    `gen_params` is the generator's parameter pytree."""
     if tb_writer is None or test_batch is None:
         return
     audio = jnp.asarray(test_batch["audio"])
@@ -232,7 +234,7 @@ def save_test_samples(params, model, state, mel_fn, test_batch, tb_writer):
     # Multi-host: this runs on process 0 only, so the apply below must be a
     # process-local program — extract an addressable copy of the (replicated)
     # global params instead of feeding mesh-spanning arrays into it.
-    local_params = host_local(state.params)
+    local_params = host_local(gen_params)
 
     def dump(tag, wav):
         tb_add_audio(tb_writer, tag, wav, step_idx, sr)
@@ -745,7 +747,8 @@ def run(args):
                         tb_writer, "train/valid_", params.batch_idx_train
                     )
                     save_test_samples(
-                        params, model, state, mel_fn, test_batch, tb_writer
+                        params, model, state.params, mel_fn, test_batch,
+                        tb_writer,
                     )
 
         # ---- end of epoch: checkpoint

@@ -408,7 +408,6 @@ def test_save_test_samples_tags_and_lengths(tmp_path):
     reference's TB tag taxonomy (ref bin/pretrain.py:608-680) and trims each
     sample to its true length; --save-infer-steps selects the step counts."""
     import struct
-    from types import SimpleNamespace
 
     from tensorboardX import SummaryWriter
     from tensorboardX.proto import event_pb2
@@ -444,10 +443,9 @@ def test_save_test_samples_tags_and_lengths(tmp_path):
             "save_infer_steps": "1,2",
         }
     )
-    state = SimpleNamespace(params=variables["params"])
     w = SummaryWriter(str(tmp_path))
     save_test_samples(
-        params, model, state, mel_fn,
+        params, model, variables["params"], mel_fn,
         {"audio": audio, "audio_lens": lens}, w,
     )
     w.close()
