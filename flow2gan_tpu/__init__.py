@@ -9,7 +9,8 @@ Public API mirrors the reference `flow2gan/__init__.py:29-48`:
 
     from flow2gan_tpu import get_model
     model = get_model("mel_24k_base", checkpoint="/path/ckpt.pt")
-    audio = model.decode(mel)  # VocoderModel: jitted mel -> waveform
+    mel = model.mel(audio)    # (B, L) waveform -> (B, n_mels, frames) log-mel
+    audio = model.infer(mel)  # jitted mel -> (B, frames * hop) waveform
 """
 
 __version__ = "0.1.0"

@@ -5,6 +5,9 @@
 # local TPU devices, so the world-size/GPU-count plumbing disappears.
 #
 # Usage: ./run_libritts.sh --stage 1 --stop-stage 6 [--corpus-dir ...]
+#        ./run_libritts.sh --stage 0 --stop-stage 0   # HF-checkpoint shortcut:
+#          infer the released HuggingFace models on the test split, then jump
+#          straight to the metrics stage (reference run_libritts.sh:123-143).
 #
 # Scale knobs default to the reference recipe (200-epoch FM / 20-epoch GAN,
 # run_libritts.sh:57-70 in the reference); override them to drive the same
@@ -64,6 +67,31 @@ for s in ${train_splits//,/ }; do
   train_manifests="${train_manifests:+$train_manifests,}$m"
 done
 valid_manifest="$data_dir/libritts_recordings_${valid_split}.jsonl.gz"
+
+# Which exp subdirectories stage 6 scores: "gan" (full pipeline) or "hf"
+# (stage-0 HuggingFace shortcut).
+metrics_prefix=gan
+
+if [ $stage -le 0 ] && [ $stop_stage -ge 0 ]; then
+  log "Stage 0: inference with the released HuggingFace checkpoints"
+  # Reference run_libritts.sh:123-143 — infer with libritts-mel-{n}-step from
+  # the HF hub, then jump straight to the metrics stage. Requires network
+  # egress for the one-time checkpoint download (QUALITY.md records each
+  # attempt while egress is blocked).
+  for n in $n_timesteps_list; do
+    python -m flow2gan_tpu.bin.infer \
+      --model-name "$model_name" \
+      --hf-model-name "libritts-mel-${n}-step" \
+      --recordings "$data_dir/libritts_recordings_${test_split}.jsonl.gz" \
+      --root-path "$corpus_dir" \
+      --output-dir "$exp_dir/hf_${n}step/${test_split}_wavs" \
+      --n-timesteps "$n"
+  done
+  log "Stage 0 done; jumping to metrics (stage 6) on the HF outputs."
+  metrics_prefix=hf
+  stage=6
+  stop_stage=6
+fi
 
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
   log "Stage 1: prepare manifests"
@@ -126,8 +154,8 @@ fi
 if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
   test_dir="${test_split//_/-}"
   for n in $n_timesteps_list; do
-    log "Stage 6: metrics, n_timesteps=$n"
-    out="$exp_dir/gan_${n}step"
+    log "Stage 6: metrics, n_timesteps=$n (${metrics_prefix} outputs)"
+    out="$exp_dir/${metrics_prefix}_${n}step"
     python scripts/compute_pesq_visqol.py \
       --ref-dir "$corpus_dir/$test_dir" --gen-dir "$out/${test_split}_wavs/$test_dir" \
       --output "$out/metrics_pesq.json" || true
