@@ -136,6 +136,12 @@ def get_parser():
                         "histograms) for 5 batches, print, exit")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of batches 10-15")
+    parser.add_argument("--remat-rollout", type=str2bool, default=False,
+                        help="Rematerialize the G-step's Euler rollout "
+                        "(scan-body remat at n_timesteps>1): residual memory "
+                        "~one step regardless of n_timesteps, ~1 extra "
+                        "forward of FLOPs. Needed for 44.1 kHz 4-step at "
+                        "batch 16 on one v5e chip.")
     parser.add_argument("--freeze-modules", type=str, default=None,
                         help="CSV of generator param-path prefixes to freeze "
                         "(lr 0) during GAN fine-tuning, e.g. 'cond_encoder'")
@@ -334,6 +340,7 @@ def run(args):
         ),
         n_timesteps=params.n_timesteps,
         scales=scales,
+        remat_rollout=params.remat_rollout,
         lr_scale_g=lr_scale_g,
     )
 

@@ -228,6 +228,7 @@ class BaseAudioGenerator(nn.Module):
         clamp_pred: bool = False,
         train: bool = False,
         scan_solve: bool = False,
+        remat_scan: bool = False,
     ) -> jnp.ndarray:
         """Fixed-grid Euler ODE solve (endpoint form). Reference generator.py:236-271.
 
@@ -240,6 +241,14 @@ class BaseAudioGenerator(nn.Module):
         compiler, while the scanned one stays near the 1-step size. For
         train=False both paths are step-for-step the same ops (parity-tested);
         for train=True the per-step RNG folds differ (both are valid draws).
+
+        `remat_scan=True` additionally rematerializes the scan BODY
+        (nn.remat): backward recomputes each Euler step's forward from its
+        carry, so differentiated-rollout residual memory is ~one step
+        regardless of n_timesteps (the 44.1 kHz 4-step G step at batch 16
+        stores 16.1 GB of residuals unremattered — over the 15.75 GB v5e HBM;
+        the reference hits the same wall as a deep autograd graph,
+        SURVEY.md §7). Identical numerics, ~1 extra forward of FLOPs.
         """
         dt = 1.0 / n_timesteps
         if not scan_solve or n_timesteps == 1:
@@ -266,6 +275,9 @@ class BaseAudioGenerator(nn.Module):
             vt = (pred - x) / (1.0 - t) if mdl.pred_x1 else pred
             return x + vt * dt, None
 
+        if remat_scan:
+            # prevent_cse is safe (and cheaper) inside scan/while bodies
+            body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(
             body,
             variable_broadcast="params",
@@ -335,6 +347,7 @@ class MelAudioGenerator(BaseAudioGenerator):
         clamp_pred: bool = False,
         train: bool = False,
         scan_solve: bool = False,
+        remat_scan: bool = False,
     ) -> jnp.ndarray:
         """Euler-solve waveforms from mels. cond: (B, n_mels, frames) -> (B, L).
 
@@ -355,6 +368,7 @@ class MelAudioGenerator(BaseAudioGenerator):
             clamp_pred=clamp_pred,
             train=train,
             scan_solve=scan_solve,
+            remat_scan=remat_scan,
         )
 
     def infer_from_noise(
@@ -366,6 +380,7 @@ class MelAudioGenerator(BaseAudioGenerator):
         clamp_pred: bool = False,
         train: bool = False,
         scan_solve: bool = False,
+        remat_scan: bool = False,
     ) -> jnp.ndarray:
         """Deterministic variant of `infer` with caller-provided x0 noise —
         used by parity tests and seeded generation."""
@@ -378,6 +393,7 @@ class MelAudioGenerator(BaseAudioGenerator):
             clamp_pred=clamp_pred,
             train=train,
             scan_solve=scan_solve,
+            remat_scan=remat_scan,
         )
 
 
@@ -428,6 +444,7 @@ class TokenAudioGenerator(BaseAudioGenerator):
         clamp_pred: bool = False,
         train: bool = False,
         scan_solve: bool = False,
+        remat_scan: bool = False,
     ) -> jnp.ndarray:
         length = tokens.shape[-1] * self.token_hop_length
         cond = self._encode_cond(tokens, train)
@@ -444,4 +461,5 @@ class TokenAudioGenerator(BaseAudioGenerator):
             clamp_pred=clamp_pred,
             train=train,
             scan_solve=scan_solve,
+            remat_scan=remat_scan,
         )

@@ -151,8 +151,12 @@ def test_gan_losses_match_reference_formulas(reference_dir, audio_pair):
     assert abs(t_mel - j_mel) / abs(t_mel) < 1e-3, (t_mel, j_mel)
 
 
-def test_gan_train_steps_smoke():
-    """2 D-steps + 2 G-steps on the tiny generator: finite, params move."""
+@pytest.mark.parametrize("remat", [False, True])
+def test_gan_train_steps_smoke(remat):
+    """2 D-steps + 2 G-steps on the tiny generator: finite, params move.
+
+    remat=True exercises the scan-body-remattered G-step (the 44.1 kHz
+    4-step HBM fix, --remat-rollout) through the full jitted train step."""
     from flow2gan_tpu.models import build_generator, get_generator_config
     from flow2gan_tpu.models.discriminators import Discriminators
     from flow2gan_tpu.ops.mel import LogMelSpectrogram
@@ -198,6 +202,7 @@ def test_gan_train_steps_smoke():
         n_timesteps=2,
         scales=GANLossScales(),
         donate=False,
+        remat_rollout=remat,
     )
     state = init_gan_train_state(params_g, params_d, opt_g, opt_d)
     g_before = jax.tree.map(np.asarray, state.params_g)

@@ -370,3 +370,30 @@ def test_scan_solve_grads_finite_and_close(tiny):
     for u, s in zip(fu, fs):
         np.testing.assert_allclose(np.asarray(u), np.asarray(s),
                                    atol=2e-5, rtol=2e-3)
+
+
+@pytest.mark.parametrize("n_timesteps", [2, 4])
+def test_remat_scan_matches_plain_scan(tiny, n_timesteps):
+    """Scan-body rematerialization (remat_scan=True, the 44k 4-step G-step's
+    HBM fix) is numerically a no-op: forward outputs are identical and grads
+    through the rollout match the un-remattered scan."""
+    cfg, model, params, cond, audio, lens = tiny
+    L = cond.shape[-1] * cfg.mel_hop_length
+    noise = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (cond.shape[0], L))
+
+    def run(p, remat):
+        return model.apply(
+            {"params": p["params"]}, noise, cond, n_timesteps=n_timesteps,
+            method="infer_from_noise", scan_solve=True, remat_scan=remat)
+
+    a = run(params, False)
+    b = run(params, True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
+
+    g_plain = jax.grad(lambda p: jnp.mean(run(p, False) ** 2))(params)
+    g_remat = jax.grad(lambda p: jnp.mean(run(p, True) ** 2))(params)
+    for u, s in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        assert np.isfinite(np.asarray(s)).all()
+        np.testing.assert_allclose(np.asarray(u), np.asarray(s),
+                                   atol=2e-5, rtol=2e-3)
