@@ -27,17 +27,20 @@ from flow2gan_tpu.utils import AttributeDict
 
 @dataclasses.dataclass
 class VocoderModel:
-    """A generator + params + mel frontend, with jitted inference.
+    """A generator + params + conditioning frontend, with jitted inference.
 
-    `infer(mel)` takes (B, n_mels, frames) -> (B, frames * hop) waveforms;
+    `infer(cond)` takes (B, n_mels, frames) log-mels — or (B, frames) int32
+    tokens for token_* configs — -> (B, frames * hop) waveforms;
     `mel(audio)` takes (B, L) -> (B, n_mels, frames) log-mels;
-    `reconstruct(audio)` = infer(mel(audio)).
+    `tokens(audio)` takes (B, L) -> (B, frames) int32 (token models only);
+    `reconstruct(audio)` = infer(<frontend>(audio)).
     """
 
-    module: object  # MelAudioGenerator (flax module)
+    module: object  # MelAudioGenerator / TokenAudioGenerator (flax module)
     variables: dict
     config: AttributeDict
     n_timesteps: int = 1
+    tokenizer: Optional[object] = None  # MelKMeansTokenizer for token_* configs
 
     def __post_init__(self):
         self._mel_fn = LogMelSpectrogram(
@@ -50,6 +53,7 @@ class VocoderModel:
             self._infer_impl, static_argnames=("n_timesteps", "clamp_pred")
         )
         self._mel_jit = jax.jit(self._mel_fn)
+        self._tok_jit = jax.jit(self.tokenizer) if self.tokenizer else None
 
     def _infer_impl(self, variables, cond, seed, n_timesteps, clamp_pred):
         # PRNG key built inside jit (host-side key construction/folding costs
@@ -65,6 +69,15 @@ class VocoderModel:
 
     def mel(self, audio) -> jnp.ndarray:
         return self._mel_jit(jnp.asarray(audio))
+
+    def tokens(self, audio) -> jnp.ndarray:
+        """(B, L) audio -> (B, frames) int32 pseudo-codec tokens."""
+        if self._tok_jit is None:
+            raise ValueError(
+                "this model has no tokenizer; pass tokenizer=<codebook.npz> "
+                "to get_model for token_* configs"
+            )
+        return self._tok_jit(jnp.asarray(audio))
 
     def infer(
         self,
@@ -83,6 +96,8 @@ class VocoderModel:
         )
 
     def reconstruct(self, audio, n_timesteps: Optional[int] = None) -> jnp.ndarray:
+        if self.config.get("conditioning", "mel") == "tokens":
+            return self.infer(self.tokens(audio), n_timesteps=n_timesteps)
         return self.infer(self.mel(audio), n_timesteps=n_timesteps)
 
 
@@ -92,11 +107,13 @@ def _download_from_hf(hf_model_name: str) -> str:
     return hf_hub_download(HF_REPO, f"{hf_model_name}.pt")
 
 
-def load_params(checkpoint: str, module, example_cond_shape) -> dict:
-    """Load params from a .pt (torch, converted) or native flax msgpack file."""
+def load_params(checkpoint: str, module, example_cond) -> dict:
+    """Load params from a .pt (torch, converted) or native flax msgpack file.
+
+    `example_cond`: template conditioning array (f32 mels or int32 tokens)."""
     path = str(checkpoint)
     rng = jax.random.PRNGKey(0)
-    cond = jnp.zeros(example_cond_shape, jnp.float32)
+    cond = example_cond
     template = module.init(
         {"params": rng, "noise": rng},
         cond,
@@ -134,12 +151,14 @@ def get_model(
     model_name: Optional[str] = None,
     hf_model_name: Optional[str] = None,
     checkpoint: Optional[str] = None,
+    tokenizer: Optional[str] = None,
 ) -> VocoderModel:
     """Build a vocoder from a named config, loading HF or local weights.
 
     Mirrors reference __init__.py:29-48. Exactly one of `hf_model_name` /
     `checkpoint` may be given; with neither, returns randomly-initialized
-    params (useful for tests).
+    params (useful for tests). `tokenizer`: codebook .npz path (or a
+    MelKMeansTokenizer) enabling `tokens`/`reconstruct` on token_* configs.
     """
     n_timesteps = 1
     if hf_model_name is not None:
@@ -159,20 +178,36 @@ def get_model(
     if hf_model_name is not None and checkpoint is None:
         checkpoint = _download_from_hf(hf_model_name)
 
-    example_shape = (1, cfg.n_mels, 16)
+    is_token = cfg.get("conditioning", "mel") == "tokens"
+    example_cond = (
+        jnp.zeros((1, 16), jnp.int32)
+        if is_token
+        else jnp.zeros((1, cfg.n_mels, 16), jnp.float32)
+    )
     if checkpoint is not None:
         if not Path(checkpoint).exists():
             raise FileNotFoundError(checkpoint)
-        variables = load_params(checkpoint, module, example_shape)
+        variables = load_params(checkpoint, module, example_cond)
     else:
         rng = jax.random.PRNGKey(0)
         variables = module.init(
             {"params": rng, "noise": rng},
-            jnp.zeros(example_shape, jnp.float32),
+            example_cond,
             n_timesteps=1,
             method="infer",
         )
 
+    tok = None
+    if tokenizer is not None:
+        from flow2gan_tpu.ops.tokenizer import MelKMeansTokenizer
+
+        tok = (
+            tokenizer
+            if isinstance(tokenizer, MelKMeansTokenizer)
+            else MelKMeansTokenizer.from_file(tokenizer, expect_config=cfg)
+        )
+
     return VocoderModel(
-        module=module, variables=variables, config=cfg, n_timesteps=n_timesteps
+        module=module, variables=variables, config=cfg,
+        n_timesteps=n_timesteps, tokenizer=tok,
     )

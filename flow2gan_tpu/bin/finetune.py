@@ -79,6 +79,9 @@ def get_parser():
     parser.add_argument("--gan-name", type=str, default="gan_multi_scale_mel_recon")
     parser.add_argument("--generator-model-path", type=str, default=None,
                         help="Averaged FM checkpoint (.ckpt or torch .pt)")
+    parser.add_argument("--tokenizer", type=str, default=None,
+                        help="k-means codebook .npz for token_* configs "
+                        "(scripts/train_tokenizer.py)")
     parser.add_argument("--n-timesteps", type=int, default=1)
     parser.add_argument("--num-epochs", type=int, default=20)
     parser.add_argument("--start-epoch", type=int, default=1)
@@ -289,6 +292,21 @@ def run(args):
     mel_recon_fns = make_mel_recon_fns(
         cfg.sampling_rate, gan_cfg.mel_recon_n_ffts, gan_cfg.mel_recon_n_mels
     )
+    # cond_fn: audio -> model conditioning (mel, or k-means pseudo-codec
+    # tokens for token_* configs); the mel-recon GAN loss + TB images keep
+    # using the mel frontend either way.
+    if cfg.get("conditioning", "mel") == "tokens":
+        if not params.tokenizer:
+            raise ValueError(
+                f"model {params.model_name} is token-conditioned; pass "
+                "--tokenizer <codebook.npz> (scripts/train_tokenizer.py)"
+            )
+        from flow2gan_tpu.ops.tokenizer import MelKMeansTokenizer
+
+        cond_fn = MelKMeansTokenizer.from_file(params.tokenizer, expect_config=cfg)
+        logging.info(f"Token conditioning: K={cond_fn.vocab_size} codebook")
+    else:
+        cond_fn = mel_fn
 
     params.sampling_rate = cfg.sampling_rate
     mesh = make_mesh(("data",))
@@ -296,7 +314,7 @@ def run(args):
     rng = jax.random.PRNGKey(params.seed)
     audio0 = jnp.zeros((2, fixed_len), jnp.float32)
     params_g = generator.init(
-        {"params": rng, "noise": rng}, mel_fn(audio0), n_timesteps=1, method="infer"
+        {"params": rng, "noise": rng}, cond_fn(audio0), n_timesteps=1, method="infer"
     )["params"]
     params_d = discriminators.init(rng, audio0, audio0)["params"]
 
@@ -324,7 +342,7 @@ def run(args):
     d_step, g_step, eval_step = make_gan_steps(
         generator,
         discriminators,
-        mel_fn,
+        cond_fn,
         mel_recon_fns,
         opt_g,
         opt_d,
@@ -568,7 +586,7 @@ def run(args):
             if diag is not None:
                 _, inter = generator.apply(
                     {"params": state.params_g},
-                    mel_fn(device_batch["audio"]),
+                    cond_fn(device_batch["audio"]),
                     n_timesteps=params.n_timesteps,
                     method="infer",
                     rngs={"noise": step_rng},
@@ -587,7 +605,7 @@ def run(args):
                     )
 
                     diag_g_loss, diag_rollout_perts = _make_diag_objective(
-                        generator, discriminators, mel_fn, mel_recon_fns,
+                        generator, discriminators, cond_fn, mel_recon_fns,
                         scales, n_timesteps=params.n_timesteps,
                     )
 
@@ -614,7 +632,7 @@ def run(args):
                     # the G objective (reference ScalarDiagnostic,
                     # diagnostics.py:337-511) — pretrain parity
                     _run_scalar_diagnostics(
-                        generator, discriminators, mel_fn, mel_recon_fns,
+                        generator, discriminators, cond_fn, mel_recon_fns,
                         params, scales, state, device_batch, step_rng,
                     )
                     logging.info("Diagnostics done, exiting")
@@ -637,7 +655,7 @@ def run(args):
                 # to zero, say WHICH parameter's gradient dominated.
                 if debug_grad_fns is None:
                     debug_grad_fns = make_gan_grad_fns(
-                        generator, discriminators, mel_fn, mel_recon_fns,
+                        generator, discriminators, cond_fn, mel_recon_fns,
                         n_timesteps=params.n_timesteps, scales=scales,
                     )
                 grad_d_fn, grad_g_fn = debug_grad_fns
@@ -664,7 +682,7 @@ def run(args):
             def _capture_intermediates():
                 _, inter = generator.apply(
                     {"params": state.params_g},
-                    mel_fn(device_batch["audio"]),
+                    cond_fn(device_batch["audio"]),
                     n_timesteps=params.n_timesteps,
                     method="infer",
                     rngs={"noise": step_rng},
@@ -760,7 +778,7 @@ def run(args):
                     vinfo.write_summary(tb_writer, "train/valid_", params.batch_idx_train)
                     save_test_samples(
                         params, generator, state.params_g, mel_fn,
-                        test_batch, tb_writer,
+                        test_batch, tb_writer, cond_fn=cond_fn,
                     )
 
         save_epoch(epoch)

@@ -51,6 +51,10 @@ def get_parser():
                         help="Base for relative output paths")
     parser.add_argument("--output-dir", type=Path, required=True)
     parser.add_argument("--n-timesteps", type=int, default=1)
+    parser.add_argument("--tokenizer", type=str, default=None,
+                        help="k-means codebook .npz for token_* configs "
+                        "(scripts/train_tokenizer.py): reconstruction runs "
+                        "audio -> tokens -> audio")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--num-workers", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
@@ -118,16 +122,28 @@ def main():
 
     cfg = get_generator_config(args.model_name)
     model = build_generator(cfg)
-    mel_fn = LogMelSpectrogram(
-        sampling_rate=cfg.sampling_rate,
-        n_fft=cfg.mel_n_fft,
-        hop_length=cfg.mel_hop_length,
-        n_mels=cfg.n_mels,
-    )
+    if cfg.get("conditioning", "mel") == "tokens":
+        if not args.tokenizer:
+            raise ValueError(
+                f"model {args.model_name} is token-conditioned; pass "
+                "--tokenizer <codebook.npz>"
+            )
+        from flow2gan_tpu.ops.tokenizer import MelKMeansTokenizer
+
+        cond_fn = MelKMeansTokenizer.from_file(args.tokenizer, expect_config=cfg)
+        example_cond = jnp.zeros((1, 16), jnp.int32)
+    else:
+        cond_fn = LogMelSpectrogram(
+            sampling_rate=cfg.sampling_rate,
+            n_fft=cfg.mel_n_fft,
+            hop_length=cfg.mel_hop_length,
+            n_mels=cfg.n_mels,
+        )
+        example_cond = jnp.zeros((1, cfg.n_mels, 16))
     rng = jax.random.PRNGKey(args.seed)
     init_params = model.init(
         {"params": rng, "noise": rng},
-        jnp.zeros((1, cfg.n_mels, 16)),
+        example_cond,
         n_timesteps=1,
         method="infer",
     )["params"]
@@ -159,7 +175,7 @@ def main():
     t0 = time.perf_counter()
     for batch in loader:
         audio = jnp.asarray(batch["audio"])
-        cond = mel_fn(audio)
+        cond = cond_fn(audio)
         wav = np.asarray(synth(params, cond, rng))
         for i, name in enumerate(batch["file_names"]):
             n = int(batch["audio_lens"][i])

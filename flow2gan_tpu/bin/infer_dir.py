@@ -40,6 +40,12 @@ def get_parser():
     parser.add_argument("--output-dir", type=Path, required=True)
     parser.add_argument("--mel", type=str2bool, default=False,
                         help="Inputs are mel files (.npy / .pt) instead of wavs")
+    parser.add_argument("--tokens", type=str2bool, default=False,
+                        help="Inputs are int token files (.npy) for token_* "
+                        "configs (synthesize straight from discrete tokens)")
+    parser.add_argument("--tokenizer", type=str, default=None,
+                        help="k-means codebook .npz — required for token_* "
+                        "configs with wav inputs (audio is tokenized first)")
     parser.add_argument("--n-timesteps", type=int, default=1)
     parser.add_argument("--chunk-size", type=int, default=0,
                         help="Streaming: mel frames per chunk (0 = whole file)")
@@ -77,15 +83,16 @@ def make_synth(model, n_timesteps, seed):
 
 
 def streaming_infer(
-    synth, params, mel: np.ndarray, chunk_size: int, num_layers: int, hop: int
+    synth, params, cond: np.ndarray, chunk_size: int, num_layers: int, hop: int
 ) -> np.ndarray:
     """Chunked inference with receptive-field halo (reference
     infer_dir.py:126-168), static chunk shapes.
 
-    mel: (n_mels, frames) -> waveform (frames * hop,)
+    cond: (n_mels, frames) log-mel or (frames,) int tokens — frames on the
+    LAST axis — -> waveform (frames * hop,)
     """
     side = 3 * num_layers  # conv k=7 -> 3 frames/layer receptive field
-    frames = mel.shape[-1]
+    frames = cond.shape[-1]
     padded_chunk = chunk_size + 2 * side  # static jit shape
     outs = []
     start = 0
@@ -93,14 +100,15 @@ def streaming_infer(
         end = min(start + chunk_size, frames)
         lo = max(0, start - side)
         hi = min(frames, end + side)
-        seg = mel[:, lo:hi]
+        seg = cond[..., lo:hi]
         left_halo = start - lo
         right_halo = hi - end
         # pad to the static chunk length (replicate edges so the model sees
         # plausible context; trimmed away below)
         pad_right = padded_chunk - seg.shape[-1]
         if pad_right > 0:
-            seg = np.pad(seg, ((0, 0), (0, pad_right)), mode="edge")
+            pad_spec = [(0, 0)] * (seg.ndim - 1) + [(0, pad_right)]
+            seg = np.pad(seg, pad_spec, mode="edge")
         wav = np.asarray(synth(params, jnp.asarray(seg[None])))[0]
         lo_s = left_halo * hop
         hi_s = (left_halo + (end - start)) * hop
@@ -122,8 +130,15 @@ def main():
         model_name=args.model_name,
         hf_model_name=args.hf_model_name,
         checkpoint=args.checkpoint,
+        tokenizer=args.tokenizer,
     )
     model, cfg = vm.module, vm.config
+    is_token_model = cfg.get("conditioning", "mel") == "tokens"
+    if is_token_model and not (args.tokens or args.tokenizer):
+        raise ValueError(
+            "token_* config: pass --tokens true (int .npy inputs) or "
+            "--tokenizer <codebook.npz> (wav inputs)"
+        )
     params = vm.variables["params"]
     mel_fn = LogMelSpectrogram(
         sampling_rate=cfg.sampling_rate,
@@ -133,7 +148,9 @@ def main():
     )
     synth = make_synth(model, args.n_timesteps, args.seed)
 
-    if args.mel:
+    if args.tokens:
+        files = sorted(args.input_dir.glob("*.npy"))
+    elif args.mel:
         files = sorted(
             list(args.input_dir.glob("*.npy")) + list(args.input_dir.glob("*.pt"))
         )
@@ -144,8 +161,13 @@ def main():
 
     total_audio, total_time = 0.0, 0.0
     for f in files:
-        if args.mel:
-            mel = load_mel_file(f)
+        if args.tokens:
+            cond = np.load(f)
+            if cond.ndim == 2:
+                cond = cond[0]
+            cond = cond.astype(np.int32)  # (frames,)
+        elif args.mel:
+            cond = load_mel_file(f)
         else:
             audio, sr = read_wav(f)
             if audio.shape[0] > 1:
@@ -154,20 +176,23 @@ def main():
                 from flow2gan_tpu.data.audio_io import resample
 
                 audio = resample(audio, sr, cfg.sampling_rate)
-            mel = np.asarray(mel_fn(jnp.asarray(audio)))[0]
+            if is_token_model:
+                cond = np.asarray(vm.tokens(jnp.asarray(audio)))[0]
+            else:
+                cond = np.asarray(mel_fn(jnp.asarray(audio)))[0]
 
         t0 = time.perf_counter()
         if args.chunk_size > 0:
             wav = streaming_infer(
                 synth,
                 params,
-                mel,
+                cond,
                 args.chunk_size,
                 num_layers=max(cfg.num_layers),
                 hop=cfg.mel_hop_length,
             )
         else:
-            wav = np.asarray(synth(params, jnp.asarray(mel[None])))[0]
+            wav = np.asarray(synth(params, jnp.asarray(cond[None])))[0]
         dt = time.perf_counter() - t0
 
         out = args.output_dir / (f.stem + ".wav")

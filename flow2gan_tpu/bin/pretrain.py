@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from flow2gan_tpu.data.dataset import build_data_loader, read_recording_manifest
 from flow2gan_tpu.models import build_generator, get_generator_config
 from flow2gan_tpu.ops.mel import LogMelSpectrogram
+from flow2gan_tpu.ops.tokenizer import MelKMeansTokenizer
 from flow2gan_tpu.parallel.mesh import (
     host_local,
     make_mesh,
@@ -81,6 +82,10 @@ def get_parser():
     )
     parser.add_argument("--exp-dir", type=Path, default=Path("exp/fm"))
     parser.add_argument("--model-name", type=str, default="mel_24k_base")
+    parser.add_argument("--tokenizer", type=str, default=None,
+                        help="k-means codebook .npz for token_* configs "
+                        "(scripts/train_tokenizer.py); the frozen pseudo-codec "
+                        "that conditions TokenAudioGenerator")
     parser.add_argument("--num-epochs", type=int, default=200)
     parser.add_argument("--start-epoch", type=int, default=1,
                         help="Resume from epoch-{start-epoch-1}.ckpt when > 1")
@@ -218,17 +223,20 @@ def compute_validation_loss(params, eval_step, state, valid_dls, mesh, rng):
     return tot
 
 
-def save_test_samples(params, model, gen_params, mel_fn, test_batch, tb_writer):
+def save_test_samples(params, model, gen_params, mel_fn, test_batch, tb_writer,
+                      cond_fn=None):
     """Generate audio per params.save_infer_steps for every test sample and
     dump audio + mel-spectrogram images to TB (reference bin/pretrain.py:608-680,
     tags valid/test_audio_{i}_gt / valid/test_audio_{i}_step_{k}). Shared by
     finetune, which dumps at its trained step count (ref bin/finetune.py:779-845).
-    `gen_params` is the generator's parameter pytree."""
+    `gen_params` is the generator's parameter pytree. `cond_fn` (default
+    mel_fn) computes the model conditioning; mel_fn always renders the
+    spectrogram images."""
     if tb_writer is None or test_batch is None:
         return
     audio = jnp.asarray(test_batch["audio"])
     lens = np.asarray(test_batch["audio_lens"])
-    cond = mel_fn(audio)
+    cond = (cond_fn or mel_fn)(audio)
     sr = params.sampling_rate
     step_idx = params.batch_idx_train
     # Multi-host: this runs on process 0 only, so the apply below must be a
@@ -296,6 +304,23 @@ def run(args):
         hop_length=cfg.mel_hop_length,
         n_mels=cfg.n_mels,
     )
+    # cond_fn is the audio -> conditioning frontend fed to the model on
+    # device inside the step; mel_fn stays for TB spectrogram images. For
+    # token configs it's the frozen k-means pseudo-codec (ops/tokenizer.py).
+    if cfg.get("conditioning", "mel") == "tokens":
+        if not params.tokenizer:
+            raise ValueError(
+                f"model {params.model_name} is token-conditioned; pass "
+                "--tokenizer <codebook.npz> (fit one with "
+                "scripts/train_tokenizer.py)"
+            )
+        cond_fn = MelKMeansTokenizer.from_file(params.tokenizer, expect_config=cfg)
+        logging.info(
+            f"Token conditioning: K={cond_fn.vocab_size} codebook "
+            f"from {params.tokenizer}"
+        )
+    else:
+        cond_fn = mel_fn
 
     mesh = make_mesh(("data",))
     n_dev = jax.device_count()
@@ -366,7 +391,7 @@ def run(args):
     }
     variables = model.init(
         {"params": rng, "noise": rng, "gate": rng, "dropout": rng},
-        mel_fn(example["audio"]),
+        cond_fn(example["audio"]),
         example["audio"],
         example["audio_lens"],
         train=True,
@@ -386,9 +411,9 @@ def run(args):
     if rules:
         logging.info(f"Per-module lr scale rules: {rules}")
     train_step = make_fm_train_step(
-        model, optimizer, lr_fn, mel_fn=mel_fn, lr_scale=lr_scale
+        model, optimizer, lr_fn, mel_fn=cond_fn, lr_scale=lr_scale
     )
-    eval_step = make_fm_eval_step(model, mel_fn=mel_fn)
+    eval_step = make_fm_eval_step(model, mel_fn=cond_fn)
     debug_grad_fn = None  # built lazily on first hard-clip (inf-check only)
 
     state = init_train_state(replicate(init_params, mesh), optimizer)
@@ -507,7 +532,7 @@ def run(args):
                 # re-run forward with intermediates captured (few batches)
                 _, inter = model.apply(
                     {"params": state.params},
-                    mel_fn(device_batch["audio"]),
+                    cond_fn(device_batch["audio"]),
                     device_batch["audio"],
                     device_batch["audio_lens"],
                     train=False,
@@ -548,7 +573,7 @@ def run(args):
                     diag_backward = BackwardTables(
                         init_fn=lambda: _diag_fwd(
                             state.params, None,
-                            mel_fn(device_batch["audio"]),
+                            cond_fn(device_batch["audio"]),
                             device_batch["audio"],
                             device_batch["audio_lens"],
                             step_rng, mutable=True,
@@ -558,7 +583,7 @@ def run(args):
                 diag_backward.collect(
                     diag,
                     state.params,
-                    mel_fn(device_batch["audio"]),
+                    cond_fn(device_batch["audio"]),
                     device_batch["audio"],
                     device_batch["audio_lens"],
                     step_rng,
@@ -571,7 +596,7 @@ def run(args):
 
                     scalar_stats = {}
                     with _norms.diagnostic_perturbations():
-                        cond0 = mel_fn(device_batch["audio"])
+                        cond0 = cond_fn(device_batch["audio"])
                         srng = jax.random.fold_in(step_rng, 999)
                         pvars = model.init(
                             {"params": srng, "noise": srng,
@@ -624,7 +649,7 @@ def run(args):
                 # when the whole batch is clipped away, say WHICH parameter's
                 # gradient dominated the norm.
                 if debug_grad_fn is None:
-                    debug_grad_fn = make_fm_grad_fn(model, mel_fn=mel_fn)
+                    debug_grad_fn = make_fm_grad_fn(model, mel_fn=cond_fn)
                 # replay with the SAME noise draw as the clipped step:
                 # train_step folds with the pre-increment state.batch_idx
                 # (train_step.py:82), which after the step is batch_idx - 1
@@ -644,7 +669,7 @@ def run(args):
                 # module output tapped, to name where the inf was born
                 _, inter = model.apply(
                     {"params": state.params},
-                    mel_fn(device_batch["audio"]),
+                    cond_fn(device_batch["audio"]),
                     device_batch["audio"],
                     device_batch["audio_lens"],
                     train=False,
@@ -748,7 +773,7 @@ def run(args):
                     )
                     save_test_samples(
                         params, model, state.params, mel_fn, test_batch,
-                        tb_writer,
+                        tb_writer, cond_fn=cond_fn,
                     )
 
         # ---- end of epoch: checkpoint

@@ -30,12 +30,29 @@ from flow2gan_tpu.models.norms import (  # noqa: F401
 )
 
 
-def build_generator(config) -> "MelAudioGenerator":
-    """Construct a MelAudioGenerator from a named config dict/AttributeDict."""
+def build_generator(config) -> "BaseAudioGenerator":
+    """Construct a generator from a named config dict/AttributeDict.
+
+    `conditioning: "tokens"` builds a TokenAudioGenerator (discrete-token
+    conditioning via the k-means pseudo-codec, `ops/tokenizer.py`); the
+    default builds the mel-conditioned MelAudioGenerator. The mel_* keys of a
+    token config describe its tokenizer frontend and are dropped here."""
     cfg = dict(config)
     cfg.pop("cond_dim", None)
+    conditioning = cfg.pop("conditioning", "mel")
     n_mels = cfg.pop("n_mels")
     mel_hop_length = cfg.pop("mel_hop_length")
+    if conditioning == "tokens":
+        cfg.pop("mel_n_fft", None)
+        return TokenAudioGenerator(
+            cond_dim=cfg.pop("cond_embed_dim"),
+            cond_hop_length=mel_hop_length,
+            vocab_size=cfg.pop("vocab_size"),
+            token_hop_length=mel_hop_length,
+            **cfg,
+        )
+    if conditioning != "mel":
+        raise ValueError(f"unknown conditioning: {conditioning!r}")
     return MelAudioGenerator(
         cond_dim=n_mels,
         cond_hop_length=mel_hop_length,

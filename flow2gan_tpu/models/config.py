@@ -74,10 +74,32 @@ mel_24k_tiny = {
     "loss_hop_length": 64,
 }
 
+# Discrete-token-conditioned family (BASELINE.json configs[3]; the reference
+# CondEncoder names "codec embeddings" as intended conditioning,
+# modules.py:499, but ships no codec). `conditioning: "tokens"` swaps the
+# mel frontend for a k-means pseudo-codec (`ops/tokenizer.py`,
+# `scripts/train_tokenizer.py`); the mel_* keys stay — they describe the
+# tokenizer's mel frontend, validated against the codebook file at load.
+token_24k_base = {
+    **mel_24k_base,
+    "conditioning": "tokens",
+    "vocab_size": 1024,
+    "cond_embed_dim": 256,  # token-embedding width fed to the cond encoder
+}
+
+token_24k_tiny = {
+    **mel_24k_tiny,
+    "conditioning": "tokens",
+    "vocab_size": 64,
+    "cond_embed_dim": 24,
+}
+
 _GENERATOR_CONFIGS = {
     "mel_24k_base": mel_24k_base,
     "mel_44k_128band_512x_base": mel_44k_128band_512x_base,
     "mel_24k_tiny": mel_24k_tiny,
+    "token_24k_base": token_24k_base,
+    "token_24k_tiny": token_24k_tiny,
 }
 
 

@@ -12,6 +12,10 @@ from flow2gan_tpu.ops.mel import (  # noqa: F401
     melscale_fbanks,
     spectrogram,
 )
+from flow2gan_tpu.ops.tokenizer import (  # noqa: F401
+    MelKMeansTokenizer,
+    kmeans_fit,
+)
 from flow2gan_tpu.ops.stft import (  # noqa: F401
     hann_window,
     num_frames,
