@@ -13,6 +13,14 @@ Mosaic constraints shape the design: lane-dimension reshapes/slices must be
 512/256 and 256/128 branches at 24 kHz and all 44.1 kHz branches); smaller
 hops fall back to the XLA path via `supported()`.
 
+The grid tiles BOTH batch and time: a (r, tb, f) spectrogram tile produces a
+(tb + k - 1, hop)-frame overlap-add contribution, and the k-1-frame halos
+between adjacent time tiles are summed outside the kernel with two shifted
+adds (elementwise on audio-sized data; XLA fuses them into the trim/envelope
+epilogue). Time tiling keeps per-block VMEM bounded (~8 MB) regardless of
+audio length — a 60 s whole-file synthesis (t_f ≈ 5.6k frames) previously
+requested 121 MB blocks and failed Mosaic's 16 MB scoped-VMEM check.
+
 Numerics match `ops.stft.istft(..., method='matmul')`; tested in interpret
 mode on CPU and compiled on TPU.
 """
@@ -70,9 +78,8 @@ def supported(n_fft: int, hop_length: int) -> bool:
 def _istft_kernel(re_ref, im_ref, aw_ref, bw_ref, out_ref, *, hop: int,
                   n_fft: int):
     r = re_ref.shape[0]
-    t_f = re_ref.shape[1]
+    tb = re_ref.shape[1]  # frames in this time tile
     k = n_fft // hop
-    t_out = t_f + k - 1
     for i in range(r):  # static unroll over the batch rows of this block
         # HIGHEST precision: full-f32 DFT on the MXU (default bf16 inputs
         # would cost ~1e-3 relative error in the waveform)
@@ -91,10 +98,31 @@ def _istft_kernel(re_ref, im_ref, aw_ref, bw_ref, out_ref, *, hop: int,
         # down the sublane (frame) axis
         acc = None
         for j in range(k):
-            fj = frames[:, j * hop : (j + 1) * hop]  # (t_f, hop)
-            shifted = jnp.pad(fj, ((j, k - 1 - j), (0, 0)))  # (t_out, hop)
+            fj = frames[:, j * hop : (j + 1) * hop]  # (tb, hop)
+            shifted = jnp.pad(fj, ((j, k - 1 - j), (0, 0)))  # (tb+k-1, hop)
             acc = shifted if acc is None else acc + shifted
-        out_ref[i] = acc
+        out_ref[i, 0] = acc
+
+
+def _pick_time_block(t_f: int, f: int, n_fft: int, hop: int, r: int) -> int:
+    """Largest multiple-of-8 time tile keeping per-block VMEM under ~8 MB.
+
+    Accounts for the re/im input tiles, the per-tile OLA output, the unrolled
+    (tb, n_fft) frame intermediate, and the two resident iDFT matrices.
+    """
+    budget = 8 * 1024 * 1024
+    k = n_fft // hop
+    const = 2 * f * n_fft * 4
+
+    def bytes_for(tb: int) -> int:
+        io = 4 * (2 * r * tb * f + r * (tb + k - 1) * hop)
+        scratch = 4 * tb * n_fft + 4 * (tb + k - 1) * hop
+        return const + io + scratch
+
+    tb = min(-(-t_f // 8) * 8, 512)
+    while tb > 8 and bytes_for(tb) > budget:
+        tb -= 8
+    return tb
 
 
 def istft_pallas(
@@ -103,6 +131,7 @@ def istft_pallas(
     hop_length: int,
     length: Optional[int] = None,
     interpret: bool = False,
+    time_block: Optional[int] = None,
 ) -> jnp.ndarray:
     """Fused iSTFT of complex (B, T_f, F) -> (B, length).
 
@@ -111,26 +140,37 @@ def istft_pallas(
     otherwise. Differentiable: iSTFT is linear, so the VJP reuses the XLA
     path's adjoint (Pallas kernels have no autodiff rule of their own) —
     training configs may therefore enable use_pallas_istft too.
+
+    `time_block` overrides the auto-chosen time-tile size (tests use a tiny
+    tile to exercise the multi-tile halo path on short audio).
     """
     if not supported(n_fft, hop_length):
         raise NotImplementedError(
             f"istft_pallas requires 128-aligned hop (got n_fft={n_fft}, "
             f"hop={hop_length}); use ops.stft.istft"
         )
-    return _istft_pallas_diff(spec, n_fft, hop_length, length, interpret)
+    return _istft_pallas_diff(
+        spec, n_fft, hop_length, length, interpret, time_block
+    )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def _istft_pallas_diff(spec, n_fft, hop_length, length, interpret):
-    return _istft_pallas_impl(spec, n_fft, hop_length, length, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _istft_pallas_diff(spec, n_fft, hop_length, length, interpret, time_block):
+    return _istft_pallas_impl(
+        spec, n_fft, hop_length, length, interpret, time_block
+    )
 
 
-def _istft_pallas_diff_fwd(spec, n_fft, hop_length, length, interpret):
-    out = _istft_pallas_impl(spec, n_fft, hop_length, length, interpret)
+def _istft_pallas_diff_fwd(spec, n_fft, hop_length, length, interpret,
+                           time_block):
+    out = _istft_pallas_impl(
+        spec, n_fft, hop_length, length, interpret, time_block
+    )
     return out, spec.shape
 
 
-def _istft_pallas_diff_bwd(n_fft, hop_length, length, interpret, spec_shape, g):
+def _istft_pallas_diff_bwd(n_fft, hop_length, length, interpret, time_block,
+                           spec_shape, g):
     from flow2gan_tpu.ops.stft import istft
 
     # iSTFT is linear: its VJP is input-independent, so evaluate the XLA
@@ -153,41 +193,69 @@ def _istft_pallas_impl(
     hop_length: int,
     length: Optional[int] = None,
     interpret: bool = False,
+    time_block: Optional[int] = None,
 ) -> jnp.ndarray:
     b, t_f, f = spec.shape
     assert f == n_fft // 2 + 1, (f, n_fft)
-    b_pad = (-b) % 8
+    k = n_fft // hop_length
+    default_len = (t_f - 1) * hop_length
+    out_len = default_len if length is None else min(length, default_len)
+
+    # batch blocking: r=8 rows per block when the batch is large; a small
+    # batch (whole-file inference is b=1) gets r=b so no padded rows are
+    # synthesized (the batch dim is not a Mosaic-tiled dim, any size works)
+    r = 8 if b >= 8 else b
+    b_pad = (-b) % r
     if b_pad:
         spec = jnp.pad(spec, ((0, b_pad), (0, 0), (0, 0)))
     bp = b + b_pad
-    k = n_fft // hop_length
-    t_out = t_f + k - 1
-    default_len = (t_f - 1) * hop_length
-    out_len = default_len if length is None else min(length, default_len)
+
+    # time tiling: bound per-block VMEM independent of audio length
+    tb = time_block or _pick_time_block(t_f, f, n_fft, hop_length, r)
+    n_t = -(-t_f // tb)
+    t_pad = n_t * tb - t_f
+    if t_pad:  # zero spec frames contribute zero to the overlap-add
+        spec = jnp.pad(spec, ((0, 0), (0, t_pad), (0, 0)))
 
     window = hann_window_np(n_fft)
     A, B = _irdft_matrices(n_fft)
     aw = jnp.asarray(A * window[None, :])
     bw = jnp.asarray(B * window[None, :])
 
-    r = 8
     kernel = functools.partial(_istft_kernel, hop=hop_length, n_fft=n_fft)
-    blocks = pl.pallas_call(
+    tiles = pl.pallas_call(
         kernel,
-        grid=(bp // r,),
+        grid=(bp // r, n_t),
         in_specs=[
-            pl.BlockSpec((r, t_f, f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((r, t_f, f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((f, n_fft), lambda i: (0, 0)),
-            pl.BlockSpec((f, n_fft), lambda i: (0, 0)),
+            pl.BlockSpec((r, tb, f), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((r, tb, f), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((f, n_fft), lambda i, j: (0, 0)),
+            pl.BlockSpec((f, n_fft), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((r, t_out, hop_length), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bp, t_out, hop_length), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (r, 1, tb + k - 1, hop_length), lambda i, j: (i, j, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (bp, n_t, tb + k - 1, hop_length), jnp.float32
+        ),
         interpret=interpret,
     )(spec.real, spec.imag, aw, bw)
 
+    # stitch the tiles: tile j owns output frames [j*tb, j*tb + tb + k - 1);
+    # the k-1-frame halo overlaps the head of tile j+1 and is summed here
+    t_full = n_t * tb + k - 1
+    body = tiles[:, :, :tb, :].reshape(bp, n_t * tb, hop_length)
+    full = jnp.pad(body, ((0, 0), (0, k - 1), (0, 0)))
+    if k > 1:
+        tail = tiles[:, :, tb:, :]  # (bp, n_t, k-1, hop)
+        tail = jnp.pad(
+            tail, ((0, 0), (0, 0), (0, tb - (k - 1)), (0, 0))
+        ).reshape(bp, n_t * tb, hop_length)
+        shifted = jnp.pad(tail, ((0, 0), (tb, 0), (0, 0)))[:, :t_full, :]
+        full = full + shifted
+
     start = n_fft // 2
-    flat = blocks[:b].reshape(b, t_out * hop_length)
+    flat = full[:b].reshape(b, t_full * hop_length)
     y = jax.lax.slice_in_dim(flat, start, start + out_len, axis=1)
     inv_env = jnp.asarray(1.0 / _istft_envelope(t_f, n_fft, hop_length)[:out_len])
     y = y * inv_env[None, :]

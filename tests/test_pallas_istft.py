@@ -118,3 +118,35 @@ def test_scanned_solve_traces_without_pallas_istft():
     assert "tpu_custom_call" in run(False) or "pallas_call" in run(False)
     scanned = run(True)
     assert "tpu_custom_call" not in scanned and "pallas_call" not in scanned
+
+
+@pytest.mark.parametrize("n_fft,hop", [(512, 256), (1024, 256)])
+@pytest.mark.parametrize("batch", [1, 3])
+def test_pallas_istft_time_tiled(n_fft, hop, batch):
+    """Multi-tile time blocking (the long-audio path): a tiny forced tile
+    size exercises tile-boundary halo summation and t_f padding on short
+    audio; must be bit-comparable to the single-tile/XLA answer."""
+    x = jnp.asarray(
+        np.random.RandomState(3).randn(batch, 20000).astype(np.float32)
+    )
+    spec = stft(x, n_fft, hop)  # t_f = 79 -> 5 tiles of 16 (pad 1)
+    ref = np.asarray(istft(spec, n_fft, hop, method="matmul"))
+    out = np.asarray(istft_pallas(spec, n_fft, hop, interpret=True,
+                                  time_block=16))
+    assert out.shape == ref.shape
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(out - ref).max() / scale < 2e-6
+
+
+def test_pick_time_block_bounds_vmem():
+    """60 s @ 24 kHz whole-file shapes must pick a tile far below t_f (the
+    untiled kernel requested ~121 MB blocks vs Mosaic's 16 MB scoped VMEM)."""
+    from flow2gan_tpu.ops.pallas_istft import _pick_time_block
+
+    tb = _pick_time_block(t_f=5627, f=257, n_fft=512, hop=256, r=8)
+    assert tb % 8 == 0
+    assert 8 <= tb <= 512
+    per_block = 4 * (2 * 8 * tb * 257 + 8 * (tb + 1) * 256)
+    assert per_block < 12 * 1024 * 1024
+    # short audio at small batch (whole-file b=1 -> r=1) stays single-tile
+    assert _pick_time_block(t_f=282, f=257, n_fft=512, hop=256, r=1) >= 282
