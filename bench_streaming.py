@@ -31,17 +31,19 @@ import jax.numpy as jnp  # noqa: E402
 
 from flow2gan_tpu.bin.infer_dir import make_synth, streaming_infer  # noqa: E402
 from flow2gan_tpu.data.audio_io import read_wav, resample  # noqa: E402
-from flow2gan_tpu.models import build_generator, get_generator_config  # noqa: E402
 from flow2gan_tpu.ops.mel import LogMelSpectrogram  # noqa: E402
 
 
 def long_audio(seconds: float, sr: int) -> np.ndarray:
     """>= `seconds` of audio: the bundled reference test wavs, tiled."""
     wav_dir = Path("/root/reference/test_data/wav")
+    wavs = sorted(wav_dir.glob("*.wav"))
+    if not wavs:
+        raise FileNotFoundError(f"no .wav files under {wav_dir}")
     parts = []
     total = 0
     while total < seconds * 24000:
-        for f in sorted(wav_dir.glob("*.wav")):
+        for f in wavs:
             a, fsr = read_wav(f)
             a = np.asarray(a, np.float32).reshape(-1)
             parts.append(a)
@@ -54,27 +56,19 @@ def long_audio(seconds: float, sr: int) -> np.ndarray:
 
 def bench_model(model_name: str, seconds: float, chunk_frames: int,
                 n_timesteps: int = 1, checkpoint: str = None):
-    cfg = get_generator_config(model_name)
-    model = build_generator(cfg)
+    # get_model owns module build + template init + checkpoint load (random
+    # params when checkpoint=None; trained weights make seam_mel_l1
+    # meaningful — the output is then cond-determined, not noise vs noise)
+    from flow2gan_tpu.api import get_model
+
+    vm = get_model(model_name, checkpoint=checkpoint)
+    cfg, model, params = vm.config, vm.module, vm.variables["params"]
     mel_fn = LogMelSpectrogram(
         sampling_rate=cfg.sampling_rate, n_fft=cfg.mel_n_fft,
         hop_length=cfg.mel_hop_length, n_mels=cfg.n_mels,
     )
-    rng = jax.random.PRNGKey(0)
     audio = long_audio(seconds, cfg.sampling_rate)
     mel = np.asarray(jax.jit(mel_fn)(jnp.asarray(audio[None])))[0]
-    params = model.init(
-        {"params": rng, "noise": rng},
-        jnp.zeros((1, cfg.n_mels, 16)), n_timesteps=1, method="infer",
-    )["params"]
-    if checkpoint:
-        # trained weights make seam_mel_l1 meaningful (the output is then
-        # cond-determined; random params give noise vs noise)
-        from flow2gan_tpu.api import load_params
-
-        params = load_params(
-            checkpoint, model, jnp.zeros((1, cfg.n_mels, 16), jnp.float32)
-        )["params"]
     synth = make_synth(model, n_timesteps, seed=0)
     dur = mel.shape[-1] * cfg.mel_hop_length / cfg.sampling_rate
 

@@ -176,7 +176,8 @@ def load_generator_init(path: str, model, init_params, mel_fn):
 
 
 def _make_diag_objective(
-    generator, discriminators, mel_fn, mel_recon_fns, scales, n_timesteps
+    generator, discriminators, mel_fn, mel_recon_fns, scales, n_timesteps,
+    remat_rollout=False,
 ):
     """G objective + perturbation-tap rollout shared by every finetune
     diagnostics surface (backward tables, scalar act-vs-grad pass) — ONE
@@ -191,7 +192,7 @@ def _make_diag_objective(
 
     _, g_loss_fn = make_gan_loss_fns(
         generator, discriminators, mel_fn, mel_recon_fns,
-        n_timesteps=n_timesteps, scales=scales,
+        n_timesteps=n_timesteps, scales=scales, remat_rollout=remat_rollout,
     )
 
     def rollout_perturbations(params_g, batch, rng):
@@ -295,18 +296,12 @@ def run(args):
     # cond_fn: audio -> model conditioning (mel, or k-means pseudo-codec
     # tokens for token_* configs); the mel-recon GAN loss + TB images keep
     # using the mel frontend either way.
-    if cfg.get("conditioning", "mel") == "tokens":
-        if not params.tokenizer:
-            raise ValueError(
-                f"model {params.model_name} is token-conditioned; pass "
-                "--tokenizer <codebook.npz> (scripts/train_tokenizer.py)"
-            )
-        from flow2gan_tpu.ops.tokenizer import MelKMeansTokenizer
+    from flow2gan_tpu.ops.tokenizer import load_token_frontend
 
-        cond_fn = MelKMeansTokenizer.from_file(params.tokenizer, expect_config=cfg)
-        logging.info(f"Token conditioning: K={cond_fn.vocab_size} codebook")
-    else:
-        cond_fn = mel_fn
+    cond_fn = (
+        load_token_frontend(cfg, params.tokenizer, params.model_name)
+        or mel_fn
+    )
 
     params.sampling_rate = cfg.sampling_rate
     mesh = make_mesh(("data",))
@@ -607,6 +602,7 @@ def run(args):
                     diag_g_loss, diag_rollout_perts = _make_diag_objective(
                         generator, discriminators, cond_fn, mel_recon_fns,
                         scales, n_timesteps=params.n_timesteps,
+                        remat_rollout=params.remat_rollout,
                     )
 
                     def _diag_init(
@@ -657,6 +653,7 @@ def run(args):
                     debug_grad_fns = make_gan_grad_fns(
                         generator, discriminators, cond_fn, mel_recon_fns,
                         n_timesteps=params.n_timesteps, scales=scales,
+                        remat_rollout=params.remat_rollout,
                     )
                 grad_d_fn, grad_g_fn = debug_grad_fns
                 dbg_rng = jax.random.fold_in(step_rng, int(state.batch_idx) - 1)

@@ -122,15 +122,11 @@ def main():
 
     cfg = get_generator_config(args.model_name)
     model = build_generator(cfg)
-    if cfg.get("conditioning", "mel") == "tokens":
-        if not args.tokenizer:
-            raise ValueError(
-                f"model {args.model_name} is token-conditioned; pass "
-                "--tokenizer <codebook.npz>"
-            )
-        from flow2gan_tpu.ops.tokenizer import MelKMeansTokenizer
+    from flow2gan_tpu.ops.tokenizer import load_token_frontend
 
-        cond_fn = MelKMeansTokenizer.from_file(args.tokenizer, expect_config=cfg)
+    tok = load_token_frontend(cfg, args.tokenizer, args.model_name)
+    if tok is not None:
+        cond_fn = tok
         example_cond = jnp.zeros((1, 16), jnp.int32)
     else:
         cond_fn = LogMelSpectrogram(

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from flow2gan_tpu.data.dataset import build_data_loader, read_recording_manifest
 from flow2gan_tpu.models import build_generator, get_generator_config
 from flow2gan_tpu.ops.mel import LogMelSpectrogram
-from flow2gan_tpu.ops.tokenizer import MelKMeansTokenizer
+from flow2gan_tpu.ops.tokenizer import load_token_frontend
 from flow2gan_tpu.parallel.mesh import (
     host_local,
     make_mesh,
@@ -307,20 +307,10 @@ def run(args):
     # cond_fn is the audio -> conditioning frontend fed to the model on
     # device inside the step; mel_fn stays for TB spectrogram images. For
     # token configs it's the frozen k-means pseudo-codec (ops/tokenizer.py).
-    if cfg.get("conditioning", "mel") == "tokens":
-        if not params.tokenizer:
-            raise ValueError(
-                f"model {params.model_name} is token-conditioned; pass "
-                "--tokenizer <codebook.npz> (fit one with "
-                "scripts/train_tokenizer.py)"
-            )
-        cond_fn = MelKMeansTokenizer.from_file(params.tokenizer, expect_config=cfg)
-        logging.info(
-            f"Token conditioning: K={cond_fn.vocab_size} codebook "
-            f"from {params.tokenizer}"
-        )
-    else:
-        cond_fn = mel_fn
+    cond_fn = (
+        load_token_frontend(cfg, params.tokenizer, params.model_name)
+        or mel_fn
+    )
 
     mesh = make_mesh(("data",))
     n_dev = jax.device_count()

@@ -119,8 +119,10 @@ def _pick_time_block(t_f: int, f: int, n_fft: int, hop: int, r: int) -> int:
         scratch = 4 * tb * n_fft + 4 * (tb + k - 1) * hop
         return const + io + scratch
 
-    tb = min(-(-t_f // 8) * 8, 512)
-    while tb > 8 and bytes_for(tb) > budget:
+    # the halo stitch needs tb >= k-1 (a tile must cover its own overlap)
+    tb_min = max(8, -(-(k - 1) // 8) * 8)
+    tb = max(min(-(-t_f // 8) * 8, 512), tb_min)
+    while tb > tb_min and bytes_for(tb) > budget:
         tb -= 8
     return tb
 
@@ -212,6 +214,11 @@ def _istft_pallas_impl(
 
     # time tiling: bound per-block VMEM independent of audio length
     tb = time_block or _pick_time_block(t_f, f, n_fft, hop_length, r)
+    if tb < k - 1:
+        raise ValueError(
+            f"time_block={tb} must be >= k-1={k - 1} (a tile must cover its "
+            f"own overlap-add halo; n_fft={n_fft}, hop={hop_length})"
+        )
     n_t = -(-t_f // tb)
     t_pad = n_t * tb - t_f
     if t_pad:  # zero spec frames contribute zero to the overlap-add

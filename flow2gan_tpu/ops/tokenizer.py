@@ -158,3 +158,27 @@ def kmeans_fit(
             worst = np.argsort(-dists)[:n_empty]
             C[~nonempty] = X[worst]
     return C
+
+
+def load_token_frontend(cfg, tokenizer_path, model_name: str = "?"):
+    """Load the conditioning frontend for a token_* config, or None for mel.
+
+    One shared entry for every CLI (pretrain/finetune/infer) and the API, so
+    tokenizer validation stays in lockstep: raises a uniform error when a
+    token-conditioned model is driven without `--tokenizer`, and validates
+    the codebook against the model config on load.
+    """
+    if dict(cfg).get("conditioning", "mel") != "tokens":
+        return None
+    if not tokenizer_path:
+        raise ValueError(
+            f"model {model_name} is token-conditioned; pass --tokenizer "
+            "<codebook.npz> (fit one with scripts/train_tokenizer.py)"
+        )
+    import logging
+
+    tok = MelKMeansTokenizer.from_file(tokenizer_path, expect_config=cfg)
+    logging.info(
+        f"Token conditioning: K={tok.vocab_size} codebook from {tokenizer_path}"
+    )
+    return tok

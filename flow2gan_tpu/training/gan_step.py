@@ -218,16 +218,22 @@ def make_gan_grad_fns(
     mel_recon_fns,
     n_timesteps: int = 1,
     scales: GANLossScales = GANLossScales(),
+    remat_rollout: bool = False,
 ):
     """Jitted grad-only D and G objectives for debugging: lets the finetune
     trainer rank parameters by gradient-norm share (`dominant_parameters`)
     when either optimizer hard-clips — the reference's
     `show_dominant_parameters` path, which finetune attaches to BOTH
     optimizers (ref bin/finetune.py:633-656). Returns (grad_d_fn, grad_g_fn),
-    each (own_params, other_params, batch, rng) -> grads of own_params."""
+    each (own_params, other_params, batch, rng) -> grads of own_params.
+
+    `remat_rollout` must match the trained step's setting: the debug grad
+    replay differentiates the same multi-step rollout, so on configs that
+    need scan-body remat to fit HBM (44.1 kHz 4-step) an un-remattered
+    replay would OOM exactly when it is asked to explain a hard-clip."""
     d_loss_fn, g_loss_fn = make_gan_loss_fns(
         generator, discriminators, mel_fn, mel_recon_fns,
-        n_timesteps=n_timesteps, scales=scales,
+        n_timesteps=n_timesteps, scales=scales, remat_rollout=remat_rollout,
     )
     grad_d = jax.jit(jax.grad(lambda pd, pg, b, r: d_loss_fn(pd, pg, b, r)[0]))
     grad_g = jax.jit(jax.grad(lambda pg, pd, b, r: g_loss_fn(pg, pd, b, r)[0]))

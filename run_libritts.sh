@@ -74,23 +74,35 @@ metrics_prefix=gan
 
 if [ $stage -le 0 ] && [ $stop_stage -ge 0 ]; then
   log "Stage 0: inference with the released HuggingFace checkpoints"
-  # Reference run_libritts.sh:123-143 — infer with libritts-mel-{n}-step from
-  # the HF hub, then jump straight to the metrics stage. Requires network
-  # egress for the one-time checkpoint download (QUALITY.md records each
-  # attempt while egress is blocked).
+  # Reference run_libritts.sh:36-37 — infer with libritts-mel-{n}-step from
+  # the HF hub, then jump to the metrics stage ("set stage=0 ... then jump
+  # to stage 5 to compute objective metrics"). Requires network egress for
+  # the one-time checkpoint download (QUALITY.md records each attempt while
+  # egress is blocked).
+  test_manifest="$data_dir/libritts_recordings_${test_split}.jsonl.gz"
+  if [ ! -f "$test_manifest" ]; then
+    log "Stage 0: test manifest missing; preparing manifests first"
+    python scripts/prepare_recordings_libritts.py \
+      --corpus-dir "$corpus_dir" --output-dir "$data_dir"
+  fi
   for n in $n_timesteps_list; do
     python -m flow2gan_tpu.bin.infer \
       --model-name "$model_name" \
       --hf-model-name "libritts-mel-${n}-step" \
-      --recordings "$data_dir/libritts_recordings_${test_split}.jsonl.gz" \
+      --recordings "$test_manifest" \
       --root-path "$corpus_dir" \
       --output-dir "$exp_dir/hf_${n}step/${test_split}_wavs" \
       --n-timesteps "$n"
   done
-  log "Stage 0 done; jumping to metrics (stage 6) on the HF outputs."
   metrics_prefix=hf
-  stage=6
-  stop_stage=6
+  if [ $stop_stage -ge 5 ]; then
+    log "Stage 0 done; jumping to metrics (stage 6) on the HF outputs."
+    stage=6
+    stop_stage=6
+  else
+    log "Stage 0 done (stop-stage $stop_stage; rerun with --stop-stage 6 to score the HF outputs)."
+    exit 0
+  fi
 fi
 
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then

@@ -86,7 +86,22 @@ def main():
             audio = np.atleast_2d(
                 np.asarray(resample(audio[0], sr, cfg.sampling_rate))
             )
-        mel = np.asarray(mel_jit(audio))[0]  # (n_mels, T)
+        # bucket-pad to whole seconds so mel_jit compiles once per bucket,
+        # not once per distinct recording length (real corpora have nearly
+        # all-unique lengths -> thousands of ~1 s XLA compiles otherwise);
+        # trim the frames the zero-pad could touch
+        n_samp = audio.shape[-1]
+        bucket = cfg.sampling_rate
+        pad = -(-n_samp // bucket) * bucket - n_samp
+        if pad:
+            audio = np.pad(audio, ((0, 0), (0, pad)))
+        t_keep = max(
+            1,
+            n_samp // cfg.mel_hop_length
+            + 1
+            - cfg.mel_n_fft // cfg.mel_hop_length,
+        )
+        mel = np.asarray(mel_jit(audio))[0][:, :t_keep]  # (n_mels, T)
         frames.append(mel.T.astype(np.float32))
         n_frames += frames[-1].shape[0]
         if n_frames >= args.max_frames * 2:

@@ -151,3 +151,42 @@ def test_g_loss_auto_scans_rollout_at_multistep(tiny_gan):
     assert has_scan(2)
     assert not has_scan(1)
     assert not has_scan(2, scan_rollout=False)
+
+
+def test_gan_grad_fns_thread_remat_rollout(tiny_gan):
+    """The debug grad replay must honor --remat-rollout (it differentiates
+    the same multi-step rollout as the trained G step; un-remattered it OOMs
+    HBM on exactly the 44.1 kHz 4-step config the flag exists for) and the
+    remattered grads must match the plain ones."""
+    generator, discs, mel_fn, mrf, params_g, params_d, batch = tiny_gan
+    rng = jax.random.PRNGKey(3)
+    _, gg_plain_fn = make_gan_grad_fns(
+        generator, discs, mel_fn, mrf, n_timesteps=2, remat_rollout=False
+    )
+    _, gg_remat_fn = make_gan_grad_fns(
+        generator, discs, mel_fn, mrf, n_timesteps=2, remat_rollout=True
+    )
+    gg_plain = gg_plain_fn(params_g, params_d, batch, rng)
+    gg_remat = gg_remat_fn(params_g, params_d, batch, rng)
+    for a, b in zip(jax.tree.leaves(gg_plain), jax.tree.leaves(gg_remat)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_diag_objective_threads_remat_rollout(tiny_gan):
+    """_make_diag_objective passes remat_rollout through to the G objective
+    (same loss value either way at n_timesteps=2)."""
+    from flow2gan_tpu.bin.finetune import _make_diag_objective
+    from flow2gan_tpu.training.gan_step import GANLossScales
+
+    generator, discs, mel_fn, mrf, params_g, params_d, batch = tiny_gan
+    rng = jax.random.PRNGKey(5)
+    vals = []
+    for remat in (False, True):
+        g_loss_fn, _ = _make_diag_objective(
+            generator, discs, mel_fn, mrf, GANLossScales(),
+            n_timesteps=2, remat_rollout=remat,
+        )
+        vals.append(float(g_loss_fn(params_g, params_d, batch, rng)[0]))
+    assert abs(vals[0] - vals[1]) < 1e-4 * max(1.0, abs(vals[0]))
