@@ -175,7 +175,14 @@ def main():
         wav = np.asarray(synth(params, cond, rng))
         for i, name in enumerate(batch["file_names"]):
             n = int(batch["audio_lens"][i])
-            out_path = args.output_dir / name
+            rel = Path(name)
+            if rel.is_absolute():
+                # manifests without --root-path carry absolute sources;
+                # `output_dir / "/abs"` would DISCARD output_dir and
+                # overwrite the source corpus — keep the structure but stay
+                # inside output_dir
+                rel = Path(*rel.parts[1:])
+            out_path = args.output_dir / rel
             out_path.parent.mkdir(parents=True, exist_ok=True)
             write_wav(out_path, wav[i, :n], cfg.sampling_rate)
             total_audio_s += n / cfg.sampling_rate

@@ -122,3 +122,46 @@ def test_save_averaged_model_plain_fallback(tiny_ckpts, monkeypatch):
     got = jax.tree.leaves(tree)[0]
     want = 2.0 * np.asarray(jax.tree.leaves(init)[0])
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_infer_absolute_manifest_stays_in_output_dir(tiny_ckpts, tmp_path, monkeypatch):
+    """A manifest with ABSOLUTE sources and no --root-path must write inside
+    --output-dir; `output_dir / "/abs/path"` discards the left side, which
+    once overwrote the source corpus with generated audio (round-4 bug)."""
+    import gzip
+    import json
+    import sys
+
+    from flow2gan_tpu.bin.infer import main as infer_main
+    from flow2gan_tpu.data.audio_io import write_wav
+
+    d, model, init = tiny_ckpts
+    src_dir = tmp_path / "corpus" / "spk"
+    src_dir.mkdir(parents=True)
+    wav = (np.random.RandomState(0).randn(12000) * 0.1).astype(np.float32)
+    write_wav(src_dir / "u0.wav", wav, 24000)
+    before = (src_dir / "u0.wav").read_bytes()
+
+    man = tmp_path / "recs.jsonl.gz"
+    with gzip.open(man, "wt") as f:
+        f.write(json.dumps({
+            "id": "u0",
+            "sources": [{"type": "file", "channels": [0],
+                         "source": str(src_dir / "u0.wav")}],
+            "sampling_rate": 24000, "num_samples": 12000, "duration": 0.5,
+        }) + "\n")
+
+    out_dir = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "infer", "--model-name", "mel_24k_tiny",
+        "--checkpoint", str(d / "epoch-1.ckpt"),
+        "--recordings", str(man), "--output-dir", str(out_dir),
+        "--n-timesteps", "1",
+    ])
+    infer_main()
+
+    written = list(out_dir.rglob("*.wav"))
+    assert written, "no output wavs written"
+    for w in written:
+        assert str(w).startswith(str(out_dir))
+    assert (src_dir / "u0.wav").read_bytes() == before, "source corpus modified"
