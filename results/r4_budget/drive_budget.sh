@@ -28,6 +28,13 @@ stage=${1:-0}
 stop=${2:-9}
 FM_EPOCHS=${3:-6}
 
+commit_results() {
+  git add results/r4_budget && git commit -q -m "$1
+
+No-Verification-Needed: results-only evidence artifact, no runtime code" \
+    && echo "COMMITTED: $1" | tee -a $LOG
+}
+
 if [ "$stage" -le 0 ] && [ "$stop" -ge 0 ]; then
   python scripts/make_rehearsal_corpus.py \
     --corpus-dir $R/LibriTTS --data-dir $R/manifests --train-repeat 150 \
@@ -58,6 +65,10 @@ if [ "$stage" -le 3 ] && [ "$stop" -ge 3 ]; then
   python scripts/compute_pitch_periodicity.py \
     --ref-dir $R/LibriTTS/test-clean --gen-dir $R/exp/fm/test_clean_wavs/test-clean \
     --output $R/exp/fm/metrics_pitch.json 2>&1 | tee -a $LOG || true
+  python scripts/collect_minipipe_results.py \
+    --exp-dir $R/exp --output-dir results/r4_budget \
+    --steps 1 --extra fm:$R/exp/fm 2>&1 | tee -a $LOG
+  commit_results "r4_budget: 6k-step FM row (budget trend vs r3_rehearsal's 3,060 steps)"
   echo "FM_METRICS_DONE" | tee -a $LOG
 fi
 
@@ -83,5 +94,6 @@ if [ "$stage" -le 5 ] && [ "$stop" -ge 5 ]; then
   python scripts/collect_minipipe_results.py \
     --exp-dir $R/exp --output-dir results/r4_budget \
     --steps 1 --extra fm:$R/exp/fm 2>&1 | tee -a $LOG
+  commit_results "r4_budget: GAN 1-step row at the r3 G budget on the 6k-step FM init"
 fi
 echo "DRIVE_BUDGET_DONE $(date -u)" | tee -a $LOG

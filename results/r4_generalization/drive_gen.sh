@@ -4,70 +4,111 @@
 # parameter draws the model has NEVER seen (scripts/make_synthetic_corpus.py,
 # disjoint seed ranges) — the first non-overfit quality evidence; matches the
 # reference's held-out evaluation protocol (README.md:19, run_libritts.sh
-# stage 5). Runs stages 1-6 on the real chip at r3_rehearsal-like scale.
+# stage 5).
+#
+# Structured for a bounded chip window (lessons from the first round-4
+# builder session, .claude/skills/verify/SKILL.md "Round-4 learnings"):
+#   - epoch-end cost (~2-3 min: checkpoint + validation on a 1-core host) is
+#     amortized with FEW LONG epochs: --train-repeat 80 -> 1,500 batches per
+#     epoch, 4 epochs = 6,000 FM steps (the LR schedule depends only on the
+#     global batch count, so the trajectory is epoch-granularity-free);
+#   - 6,000 FM steps because ~3k steps on 300 unique utterances was measured
+#     NOT 1-step usable (healthy velocity field, but 1-step integration
+#     collapses while 4-step is fine) — and FM baselines are published at
+#     n=1/2/4 so every GAN row has a matched FM comparison;
+#   - the GAN stage uses a SEPARATE repeat-40 manifest (750 batches/epoch,
+#     ~325 G updates after the 100-batch D warmup, r3_rehearsal-like budget);
+#   - results are collected AND COMMITTED after the FM rows and after each
+#     GAN step count, so a dead tunnel mid-run still leaves published rows.
+# Usage: drive_gen.sh [start_stage] [stop_stage]
 set -uo pipefail
 cd /root/repo
 
 R=/tmp/r4_gen
 LOG=$R/drive.log
+OUT=results/r4_generalization
 mkdir -p $R
 
 stage=${1:-0}
 stop=${2:-9}
 
+commit_results() {
+  git add $OUT && git commit -q -m "$1
+
+No-Verification-Needed: results-only evidence artifact, no runtime code" \
+    && echo "COMMITTED: $1" | tee -a $LOG
+}
+
 if [ "$stage" -le 0 ] && [ "$stop" -ge 0 ]; then
   python scripts/make_synthetic_corpus.py \
-    --corpus-dir $R/LibriTTS --data-dir $R/manifests \
-    --n-train 300 --n-test 20 --n-dev 4 --duration 3.0 --train-repeat 10 \
+    --corpus-dir $R/LibriTTS --data-dir $R/manifests_fm \
+    --n-train 300 --n-test 20 --n-dev 4 --duration 3.0 --train-repeat 80 \
+    2>&1 | tee -a $LOG
+  # Same deterministic corpus, smaller train manifest for the GAN stage.
+  python scripts/make_synthetic_corpus.py \
+    --corpus-dir $R/LibriTTS --data-dir $R/manifests_gan \
+    --n-train 300 --n-test 20 --n-dev 4 --duration 3.0 --train-repeat 40 \
     2>&1 | tee -a $LOG
 fi
 
 if [ "$stage" -le 2 ] && [ "$stop" -ge 2 ]; then
   ./run_libritts.sh --stage 2 --stop-stage 3 \
-    --corpus-dir $R/LibriTTS --data-dir $R/manifests --exp-dir $R/exp \
+    --corpus-dir $R/LibriTTS --data-dir $R/manifests_fm --exp-dir $R/exp \
     --model-name mel_24k_base --train-splits train_clean_100 \
-    --fm-epochs 16 --fm-batch 16 --fm-avg 3 \
-    --fm-extra-args "--valid-interval 800 --save-every-n 1000000 --log-interval 100" \
+    --fm-epochs 4 --fm-batch 16 --fm-avg 2 \
+    --fm-extra-args "--valid-interval 100000 --save-every-n 1000000 --log-interval 200 --keep-last-k 3" \
     2>&1 | tee -a $LOG
   echo "FM rc=$?" | tee -a $LOG
 fi
 
-if [ "$stage" -le 4 ] && [ "$stop" -ge 4 ]; then
-  ./run_libritts.sh --stage 4 --stop-stage 4 \
-    --corpus-dir $R/LibriTTS --data-dir $R/manifests --exp-dir $R/exp \
-    --model-name mel_24k_base --train-splits train_clean_100 \
-    --fm-epochs 16 --fm-avg 3 \
-    --gan-epochs 4 --gan-batch 16 --gan-avg 2 \
-    --gan-extra-args "--gen-start-batch-idx 100 --valid-interval 800 --save-every-n 1000000 --log-interval 100 --remat-rollout true" \
-    2>&1 | tee -a $LOG
-  echo "GAN rc=$?" | tee -a $LOG
+if [ "$stage" -le 3 ] && [ "$stop" -ge 3 ]; then
+  # FM-only baselines on the held-out split at every published step count.
+  for n in 1 2 4; do
+    python -m flow2gan_tpu.bin.infer \
+      --model-name mel_24k_base \
+      --checkpoint $R/exp/fm/averaged.ckpt \
+      --recordings $R/manifests_fm/libritts_recordings_test_clean.jsonl.gz \
+      --root-path $R/LibriTTS \
+      --output-dir $R/exp/fm_${n}step/test_clean_wavs \
+      --n-timesteps $n 2>&1 | tee -a $LOG
+    python scripts/compute_pesq_visqol.py \
+      --ref-dir $R/LibriTTS/test-clean \
+      --gen-dir $R/exp/fm_${n}step/test_clean_wavs/test-clean \
+      --output $R/exp/fm_${n}step/metrics_pesq.json 2>&1 | tee -a $LOG || true
+    python scripts/compute_pitch_periodicity.py \
+      --ref-dir $R/LibriTTS/test-clean \
+      --gen-dir $R/exp/fm_${n}step/test_clean_wavs/test-clean \
+      --output $R/exp/fm_${n}step/metrics_pitch.json 2>&1 | tee -a $LOG || true
+  done
+  # gan_* dirs don't exist yet; the collector skips rows with no metrics.
+  python scripts/collect_minipipe_results.py \
+    --exp-dir $R/exp --output-dir $OUT --steps 1 2 4 \
+    --extra fm_1step:$R/exp/fm_1step fm_2step:$R/exp/fm_2step \
+            fm_4step:$R/exp/fm_4step 2>&1 | tee -a $LOG
+  commit_results "r4_generalization: held-out FM baseline rows (n=1/2/4)"
 fi
 
-if [ "$stage" -le 5 ] && [ "$stop" -ge 5 ]; then
-  ./run_libritts.sh --stage 5 --stop-stage 6 \
-    --corpus-dir $R/LibriTTS --data-dir $R/manifests --exp-dir $R/exp \
-    --model-name mel_24k_base --train-splits train_clean_100 \
-    --gan-epochs 4 \
-    2>&1 | tee -a $LOG
-  echo "STAGES56 rc=$?" | tee -a $LOG
-
-  # FM-only row on the held-out split
-  python -m flow2gan_tpu.bin.infer \
-    --model-name mel_24k_base \
-    --checkpoint $R/exp/fm/averaged.ckpt \
-    --recordings $R/manifests/libritts_recordings_test_clean.jsonl.gz \
-    --root-path $R/LibriTTS \
-    --output-dir $R/exp/fm/test_clean_wavs \
-    --n-timesteps 1 2>&1 | tee -a $LOG
-  python scripts/compute_pesq_visqol.py \
-    --ref-dir $R/LibriTTS/test-clean --gen-dir $R/exp/fm/test_clean_wavs/test-clean \
-    --output $R/exp/fm/metrics_pesq.json 2>&1 | tee -a $LOG || true
-  python scripts/compute_pitch_periodicity.py \
-    --ref-dir $R/LibriTTS/test-clean --gen-dir $R/exp/fm/test_clean_wavs/test-clean \
-    --output $R/exp/fm/metrics_pitch.json 2>&1 | tee -a $LOG || true
-
-  python scripts/collect_minipipe_results.py \
-    --exp-dir $R/exp --output-dir results/r4_generalization \
-    --steps 1 2 4 --extra fm:$R/exp/fm 2>&1 | tee -a $LOG
+if [ "$stage" -le 4 ] && [ "$stop" -ge 4 ]; then
+  for n in 1 2 4; do
+    ./run_libritts.sh --stage 4 --stop-stage 4 \
+      --corpus-dir $R/LibriTTS --data-dir $R/manifests_gan --exp-dir $R/exp \
+      --model-name mel_24k_base --train-splits train_clean_100 \
+      --fm-epochs 4 --fm-avg 2 \
+      --n-timesteps-list "$n" \
+      --gan-epochs 1 --gan-batch 16 --gan-avg 1 \
+      --gan-extra-args "--gen-start-batch-idx 100 --valid-interval 100000 --save-every-n 1000000 --log-interval 100 --remat-rollout true" \
+      2>&1 | tee -a $LOG
+    echo "GAN${n} rc=$?" | tee -a $LOG
+    ./run_libritts.sh --stage 5 --stop-stage 6 \
+      --corpus-dir $R/LibriTTS --data-dir $R/manifests_gan --exp-dir $R/exp \
+      --model-name mel_24k_base --train-splits train_clean_100 \
+      --n-timesteps-list "$n" --gan-epochs 1 \
+      2>&1 | tee -a $LOG
+    python scripts/collect_minipipe_results.py \
+      --exp-dir $R/exp --output-dir $OUT --steps 1 2 4 \
+      --extra fm_1step:$R/exp/fm_1step fm_2step:$R/exp/fm_2step \
+              fm_4step:$R/exp/fm_4step 2>&1 | tee -a $LOG
+    commit_results "r4_generalization: GAN ${n}-step row on the held-out split"
+  done
 fi
 echo "DRIVE_GEN_DONE $(date -u)" | tee -a $LOG
