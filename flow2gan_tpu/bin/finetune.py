@@ -523,6 +523,13 @@ def run(args):
             },
         )
 
+    # Snapshot the initial state as epoch-0 so windowed averaging over
+    # (epoch-0, epoch-N] is defined for every N >= 1: round 4's held-out
+    # drive lost three trained GAN models because --gan-avg == --gan-epochs
+    # needed a nonexistent epoch-0.ckpt at export time.
+    if params.start_epoch == 1 and not (params.exp_dir / "epoch-0.ckpt").exists():
+        save_epoch(0)
+
     for epoch in range(params.start_epoch, params.num_epochs + 1):
         if resume_sampler is not None and epoch == params.start_epoch:
             _, rng_py = restore_sampler_state(resume_sampler, train_dls)

@@ -480,6 +480,26 @@ def run(args):
     step_rng = jax.random.PRNGKey(params.seed + 1)
     guard = NonfiniteLossGuard()
 
+    # Snapshot the initial state as epoch-0 so windowed averaging over
+    # (epoch-0, epoch-N] is defined for every N >= 1: --avg == --epochs
+    # previously needed a nonexistent epoch-0.ckpt and failed the export
+    # (save_averaged_model window semantics, reference checkpoint.py:442-501).
+    epoch0 = params.exp_dir / "epoch-0.ckpt"
+    if (
+        params.start_epoch == 1
+        and jax.process_index() == 0
+        and not epoch0.exists()
+    ):
+        ckpt.save_checkpoint(
+            epoch0,
+            params=jax.tree.map(np.asarray, state.params),
+            model_avg=model_avg,
+            train_params={
+                "batch_idx_train": params.batch_idx_train,
+                "model_name": params.model_name,
+            },
+        )
+
     for epoch in range(params.start_epoch, params.num_epochs + 1):
         if resume_sampler is not None and epoch == params.start_epoch:
             _, rng_py = restore_sampler_state(resume_sampler, train_dls)

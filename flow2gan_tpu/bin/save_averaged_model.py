@@ -42,17 +42,32 @@ def main():
     setup_logger(f"{args.exp_dir}/log/log-average")
     logging.info(vars(args))
 
-    if args.use_averaged_model:
+    use_averaged = args.use_averaged_model
+    if use_averaged:
         start = args.exp_dir / f"epoch-{args.epoch - args.avg}.ckpt"
         end = args.exp_dir / f"epoch-{args.epoch}.ckpt"
         if not start.exists():
-            raise SystemExit(
-                f"Windowed averaging over ({start}, {end}] needs the start "
-                f"checkpoint, which does not exist (epoch {args.epoch} with "
-                f"--avg {args.avg} reaches before the first saved epoch). "
-                f"Use a smaller --avg, or --use-averaged-model false for a "
-                f"plain average of the last {args.avg} epochs."
-            )
+            if args.epoch - args.avg == 0:
+                # Exp dirs from trainers that predate the epoch-0 snapshot:
+                # the window (epoch-0, epoch-N] is the whole run, so a plain
+                # average of all N epochs is the closest defined estimator.
+                # Round 4 lost three trained GAN models to a hard exit here.
+                logging.warning(
+                    f"{start} does not exist (trainer predates the epoch-0 "
+                    f"snapshot); FALLING BACK to a plain average of epochs "
+                    f"1..{args.epoch}"
+                )
+                use_averaged = False
+            else:
+                raise SystemExit(
+                    f"Windowed averaging over ({start}, {end}] needs the "
+                    f"start checkpoint, which does not exist (epoch "
+                    f"{args.epoch} with --avg {args.avg} reaches before the "
+                    f"first saved epoch). Use a smaller --avg, or "
+                    f"--use-averaged-model false for a plain average of the "
+                    f"last {args.avg} epochs."
+                )
+    if use_averaged:
         logging.info(f"Windowed running-average over ({start}, {end}]")
         tree = ckpt.average_checkpoints_with_averaged_model(start, end)
     else:

@@ -104,27 +104,75 @@ def _istft_kernel(re_ref, im_ref, aw_ref, bw_ref, out_ref, *, hop: int,
         out_ref[i, 0] = acc
 
 
-def _pick_time_block(t_f: int, f: int, n_fft: int, hop: int, r: int) -> int:
-    """Largest multiple-of-8 time tile keeping per-block VMEM under ~8 MB.
+def _pad8(n: int) -> int:
+    return -(-n // 8) * 8
 
-    Accounts for the re/im input tiles, the per-tile OLA output, the unrolled
-    (tb, n_fft) frame intermediate, and the two resident iDFT matrices.
+
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+# Target for the kernel's scoped-VMEM footprint. The hardware limit is 16 MiB
+# (XLA:TPU's default --xla_tpu_scoped_vmem_limit_kib); 12 MiB leaves margin
+# for allocator overheads the model below doesn't see (semaphores, the full
+# S(1)-placed result XLA sometimes stacks alongside the block buffers).
+_VMEM_BUDGET = 12 * 1024 * 1024
+_VMEM_LIMIT = 15 * 1024 * 1024
+
+
+def _block_vmem_bytes(tb: int, f: int, n_fft: int, hop: int, r: int) -> int:
+    """Scoped-VMEM bytes Mosaic allocates for one grid step at time tile tb.
+
+    Model (validated against two real compiler failures on v5e, round 5):
+      - re/im input blocks (r, tb, f) are DOUBLE-buffered for the pipeline,
+        and the lane dim f is padded to a multiple of 128 (257 -> 384: +49%
+        over the naive estimate — the round-4 hole);
+      - the output block (r, tb+k-1, hop) is double-buffered, sublane padded
+        to a multiple of 8 (hop is already 128-aligned per `supported`);
+      - the two iDFT matrices (f, n_fft) are resident once, sublane padded.
+    Measured: b=8, t_f=528, n_fft=512, hop=256 -> tb=264 gives 16.62 MiB and
+    tb=256 gives 16.12 MiB (both compile failures at the 16 MiB limit); this
+    model reproduces both figures exactly (17,432,576 / 16,908,288 bytes for
+    the in+out block terms).
     """
-    budget = 8 * 1024 * 1024
     k = n_fft // hop
-    const = 2 * f * n_fft * 4
+    inp = 2 * 2 * r * tb * _pad128(f) * 4
+    out = 2 * r * _pad8(tb + k - 1) * hop * 4
+    mats = 2 * _pad8(f) * n_fft * 4
+    return inp + out + mats
 
-    def bytes_for(tb: int) -> int:
-        io = 4 * (2 * r * tb * f + r * (tb + k - 1) * hop)
-        scratch = 4 * tb * n_fft + 4 * (tb + k - 1) * hop
-        return const + io + scratch
 
+def _pick_time_block(t_f: int, f: int, n_fft: int, hop: int,
+                     r: int) -> Optional[int]:
+    """Largest multiple-of-8 time tile whose scoped-VMEM footprint fits.
+
+    Targets `_VMEM_BUDGET`; returns the smallest legal tile instead if that
+    still fits under the hard `_VMEM_LIMIT`, and None when even the smallest
+    tile cannot compile (callers fall back to the XLA iSTFT — the "auto"
+    switch must never produce an uncompilable program).
+    """
     # the halo stitch needs tb >= k-1 (a tile must cover its own overlap)
-    tb_min = max(8, -(-(k - 1) // 8) * 8)
-    tb = max(min(-(-t_f // 8) * 8, 512), tb_min)
-    while tb > tb_min and bytes_for(tb) > budget:
+    k = n_fft // hop
+    tb_min = max(8, _pad8(k - 1))
+    tb = max(min(_pad8(t_f), 512), tb_min)
+    while tb > tb_min and _block_vmem_bytes(tb, f, n_fft, hop, r) > _VMEM_BUDGET:
         tb -= 8
+    if _block_vmem_bytes(tb, f, n_fft, hop, r) > _VMEM_LIMIT:
+        return None
     return tb
+
+
+def fits_vmem(batch: int, t_f: int, n_fft: int, hop_length: int) -> bool:
+    """True when some time tile keeps the kernel inside scoped VMEM.
+
+    Trace-time predicate (all static shapes); `istft_pallas` also checks this
+    itself and silently falls back to the XLA iSTFT when it fails.
+    """
+    if not supported(n_fft, hop_length):
+        return False
+    f = n_fft // 2 + 1
+    r = 8 if batch >= 8 else batch
+    return _pick_time_block(t_f, f, n_fft, hop_length, r) is not None
 
 
 def istft_pallas(
@@ -214,6 +262,14 @@ def _istft_pallas_impl(
 
     # time tiling: bound per-block VMEM independent of audio length
     tb = time_block or _pick_time_block(t_f, f, n_fft, hop_length, r)
+    if tb is None:
+        # no tile size fits scoped VMEM (round-4 class of on-chip compile
+        # crashes): fall back to the XLA iSTFT, identical numerics
+        from flow2gan_tpu.ops.stft import istft
+
+        if b_pad:
+            spec = spec[:b]
+        return istft(spec, n_fft, hop_length, length=length, method="matmul")
     if tb < k - 1:
         raise ValueError(
             f"time_block={tb} must be >= k-1={k - 1} (a tile must cover its "

@@ -191,3 +191,59 @@ def test_optimizer_state_roundtrip(tmp_path):
         {"w": jnp.full((3, 2), 0.1), "s": jnp.asarray(0.1)}, state2, params, lr=0.01
     )
     np.testing.assert_allclose(np.asarray(upd_a["w"]), np.asarray(upd_b["w"]))
+
+
+def test_save_averaged_model_avg_equals_epochs_fallback(tmp_path, monkeypatch):
+    """--avg == --epochs with no epoch-0.ckpt (exp dirs from trainers that
+    predate the epoch-0 snapshot) must fall back to a plain average instead
+    of exiting: round 4's held-out drive lost three trained GAN models to
+    the hard exit (run_libritts.sh stage 4b passes --gan-avg == --gan-epochs).
+    """
+    from flow2gan_tpu.bin.save_averaged_model import main
+
+    save_checkpoint(
+        tmp_path / "epoch-1.ckpt",
+        params=_params(7),
+        model_avg=_params(8),
+        train_params={"batch_idx_train": 100},
+    )
+    monkeypatch.setattr(
+        "sys.argv",
+        ["save_averaged_model", "--exp-dir", str(tmp_path),
+         "--epoch", "1", "--avg", "1"],
+    )
+    main()
+    out = load_checkpoint(tmp_path / "averaged.ckpt")["model"]
+    np.testing.assert_allclose(
+        out["layer"]["kernel"], _params(7)["layer"]["kernel"], rtol=1e-6
+    )
+
+
+def test_save_averaged_model_uses_epoch0_window(tmp_path, monkeypatch):
+    """With the trainer's epoch-0 snapshot present, --avg == --epochs keeps
+    the windowed running-average semantics (window = the whole run)."""
+    from flow2gan_tpu.bin.save_averaged_model import main
+
+    save_checkpoint(
+        tmp_path / "epoch-0.ckpt",
+        params=_params(1),
+        model_avg=_params(1),
+        train_params={"batch_idx_train": 0},
+    )
+    save_checkpoint(
+        tmp_path / "epoch-1.ckpt",
+        params=_params(7),
+        model_avg=_params(8),
+        train_params={"batch_idx_train": 100},
+    )
+    monkeypatch.setattr(
+        "sys.argv",
+        ["save_averaged_model", "--exp-dir", str(tmp_path),
+         "--epoch", "1", "--avg", "1"],
+    )
+    main()
+    out = load_checkpoint(tmp_path / "averaged.ckpt")["model"]
+    # weight_end = 100/(100-0) = 1, weight_start = 0 -> the end running avg
+    np.testing.assert_allclose(
+        out["layer"]["kernel"], _params(8)["layer"]["kernel"], rtol=1e-6
+    )

@@ -150,3 +150,59 @@ def test_pick_time_block_bounds_vmem():
     assert per_block < 12 * 1024 * 1024
     # short audio at small batch (whole-file b=1 -> r=1) stays single-tile
     assert _pick_time_block(t_f=282, f=257, n_fft=512, hop=256, r=1) >= 282
+
+
+def test_vmem_model_reproduces_round4_compile_failures():
+    """The scoped-VMEM model must reproduce the two REAL v5e compiler
+    failures from the round-4 held-out drive to the KiB (drive log:
+    'Scoped allocation with size 16.62M/16.12M ... limit 16.00M'), so any
+    future drift in the model is caught before it burns chip time.
+
+    The measured total is the double-buffered re/im input blocks plus the
+    double-buffered output block (lane dim 257 padded to 384); the resident
+    iDFT matrices are accounted separately by the compiler, so they are
+    subtracted from _block_vmem_bytes here.
+    """
+    from flow2gan_tpu.ops.pallas_istft import _block_vmem_bytes
+
+    mats = 2 * 264 * 512 * 4
+    assert _block_vmem_bytes(264, 257, 512, 256, 8) - mats == 17_432_576
+    assert _block_vmem_bytes(256, 257, 512, 256, 8) - mats == 16_908_288
+
+
+def test_pick_time_block_never_exceeds_limit():
+    """Every auto-picked tile must fit the hard scoped-VMEM limit across the
+    whole shape class the models produce (batch x duration x fft branch);
+    round 4 shipped an all-NaN artifact because b=8, t_f=528, n_fft=512
+    compiled a 16.62 MiB block. None may exceed _VMEM_LIMIT; infeasible
+    shapes must return None (-> XLA fallback), never an uncompilable tile."""
+    from flow2gan_tpu.ops.pallas_istft import (
+        _VMEM_LIMIT, _block_vmem_bytes, _pick_time_block, fits_vmem,
+    )
+
+    for n_fft, hop in [(1024, 512), (512, 256), (256, 128)]:
+        f = n_fft // 2 + 1
+        for b in [1, 2, 8, 16, 32]:
+            r = 8 if b >= 8 else b
+            for t_f in [9, 94, 191, 528, 1036, 5627]:
+                tb = _pick_time_block(t_f, f, n_fft, hop, r)
+                assert tb is not None, (n_fft, hop, b, t_f)
+                assert tb % 8 == 0 and tb >= n_fft // hop - 1
+                assert _block_vmem_bytes(tb, f, n_fft, hop, r) <= _VMEM_LIMIT
+                assert fits_vmem(b, t_f, n_fft, hop)
+    # the exact round-4 failing shape must now pick a compilable tile
+    tb = _pick_time_block(528, 257, 512, 256, 8)
+    assert tb is not None and tb < 256  # 256 was measured uncompilable
+
+
+def test_istft_pallas_falls_back_when_vmem_infeasible(monkeypatch):
+    """When no tile fits, istft_pallas must return the XLA answer instead of
+    tracing an uncompilable kernel (the 'auto' switch can never crash)."""
+    import flow2gan_tpu.ops.pallas_istft as pi
+
+    monkeypatch.setattr(pi, "_pick_time_block", lambda *a, **k: None)
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 8192).astype(np.float32))
+    spec = stft(x, 512, 256)
+    ref = np.asarray(istft(spec, 512, 256, method="matmul"))
+    out = np.asarray(pi.istft_pallas(spec, 512, 256))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
