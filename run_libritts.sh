@@ -168,12 +168,15 @@ if [ $stage -le 6 ] && [ $stop_stage -ge 6 ]; then
   for n in $n_timesteps_list; do
     log "Stage 6: metrics, n_timesteps=$n (${metrics_prefix} outputs)"
     out="$exp_dir/${metrics_prefix}_${n}step"
+    # pesq/pitch must succeed (they now exit nonzero on 0 scored pairs —
+    # fail closed, round-5); fsd stays optional: its embedding backend can
+    # be legitimately unavailable in this environment.
     python scripts/compute_pesq_visqol.py \
       --ref-dir "$corpus_dir/$test_dir" --gen-dir "$out/${test_split}_wavs/$test_dir" \
-      --output "$out/metrics_pesq.json" || true
+      --output "$out/metrics_pesq.json"
     python scripts/compute_pitch_periodicity.py \
       --ref-dir "$corpus_dir/$test_dir" --gen-dir "$out/${test_split}_wavs/$test_dir" \
-      --output "$out/metrics_pitch.json" || true
+      --output "$out/metrics_pitch.json"
     python scripts/compute_fsd.py \
       --ref-dir "$corpus_dir/$test_dir" --gen-dir "$out/${test_split}_wavs/$test_dir" \
       --output "$out/metrics_fsd.json" || true

@@ -30,20 +30,47 @@ def main():
 
     args.output_dir.mkdir(parents=True, exist_ok=True)
     summary = {}
+    failures = []
 
-    def read_metrics(name: str, d: Path):
+    def _row_is_empty(row) -> bool:
+        """True when no summary carries a single non-null metric value, or
+        any present summary scored zero files."""
+        any_value = False
+        for s in row.values():
+            if s.get("n_files") == 0:
+                return True
+            any_value = any_value or any(
+                v is not None
+                for k, v in s.items()
+                if k not in ("n_files",) and not k.endswith("_unavailable")
+            )
+        return not any_value
+
+    def read_metrics(name: str, d: Path, required: bool = False):
         row = {}
+        pending = {}
         for kind in ("pesq", "pitch", "fsd"):
             f = d / f"metrics_{kind}.json"
             if not f.exists():
                 continue
             data = json.loads(f.read_text())
             row[kind] = data.get("summary", data)
-            (args.output_dir / f"{name}_metrics_{kind}.json").write_text(
+            pending[f"{name}_metrics_{kind}.json"] = data
+        if row and _row_is_empty(row):
+            # Fail closed (round-4 lesson: all-NaN rows shipped under a
+            # commit message claiming real baselines): an empty row is a
+            # pipeline failure; refuse to publish it.
+            failures.append(f"{name}: metrics present but empty ({d})")
+            return
+        if not row:
+            if required:
+                failures.append(f"{name}: no metrics_*.json found in {d}")
+            return
+        for fname, data in pending.items():
+            (args.output_dir / fname).write_text(
                 json.dumps(data, indent=2) + "\n"
             )
-        if row:
-            summary[name] = row
+        summary[name] = row
 
     for n in args.steps:
         read_metrics(f"gan_{n}step", args.exp_dir / f"gan_{n}step")
@@ -51,7 +78,7 @@ def main():
         name, sep, path = spec.partition(":")
         if not sep or not Path(path).is_dir():
             raise SystemExit(f"--extra expects name:<existing-dir>, got {spec!r}")
-        read_metrics(name, Path(path))
+        read_metrics(name, Path(path), required=True)
 
     (args.output_dir / "summary.json").write_text(
         json.dumps(summary, indent=2) + "\n"
@@ -79,6 +106,13 @@ def main():
         )
     (args.output_dir / "summary.md").write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
+    if failures:
+        for f in failures:
+            print(f"COLLECT_FAILED {f}")
+        raise SystemExit(2)
+    if not summary:
+        print("COLLECT_FAILED no rows collected at all")
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":

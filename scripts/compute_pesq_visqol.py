@@ -149,6 +149,15 @@ def main():
         ]
     pairs = [(r, g, v) for r, g, v in pairs if r.exists() and g.exists()]
     logging.info(f"Scoring {len(pairs)} file pairs")
+    if not pairs:
+        # Fail closed: round 4 committed an all-NaN artifact because this
+        # script scored 0 pairs and exited 0. An empty evaluation is a
+        # pipeline failure, not a result.
+        logging.error(
+            f"FAILED: 0 file pairs to score (ref-dir={args.ref_dir}, "
+            f"gen-dir={args.gen_dir}) — refusing to write an empty summary"
+        )
+        raise SystemExit(2)
 
     try:
         from pesq import pesq as _  # noqa: F401

@@ -163,6 +163,14 @@ def main():
         pairs = [(args.ref_dir / f.relative_to(args.gen_dir), f) for f in gen_files]
     pairs = [(r, g) for r, g in pairs if r.exists() and g.exists()]
     logging.info(f"Scoring {len(pairs)} file pairs")
+    if not pairs:
+        # Fail closed (round-4 lesson): an empty evaluation is a pipeline
+        # failure, not a result — exit nonzero, write nothing.
+        logging.error(
+            f"FAILED: 0 file pairs to score (ref-dir={args.ref_dir}, "
+            f"gen-dir={args.gen_dir}) — refusing to write an empty summary"
+        )
+        raise SystemExit(2)
 
     with ProcessPoolExecutor(max_workers=args.num_workers) as ex:
         results = list(ex.map(compute_one, pairs))
