@@ -1,27 +1,28 @@
 #!/usr/bin/env bash
-# Round-4 GENERALIZATION rehearsal (VERDICT r3 "Next round #3"): train on a
-# procedural speech-like corpus and score on held-out utterances whose
+# Held-out generalization drive (VERDICT r4 next-round #1/#2): train on a
+# procedural speech-like corpus, score on held-out utterances whose
 # parameter draws the model has NEVER seen (scripts/make_synthetic_corpus.py,
-# disjoint seed ranges) — the first non-overfit quality evidence; matches the
-# reference's held-out evaluation protocol (README.md:19, run_libritts.sh
+# disjoint seed ranges) — the first non-overfit quality evidence. Matches
+# the reference's held-out evaluation protocol (README.md:19, run_libritts.sh
 # stage 5).
 #
-# Structured for a bounded chip window (lessons from the first round-4
-# builder session, .claude/skills/verify/SKILL.md "Round-4 learnings"):
-#   - epoch-end cost (~2-3 min: checkpoint + validation on a 1-core host) is
-#     amortized with FEW LONG epochs: --train-repeat 80 -> 1,500 batches per
-#     epoch, 4 epochs = 6,000 FM steps (the LR schedule depends only on the
-#     global batch count, so the trajectory is epoch-granularity-free);
-#   - 6,000 FM steps because ~3k steps on 300 unique utterances was measured
-#     NOT 1-step usable (healthy velocity field, but 1-step integration
-#     collapses while 4-step is fine) — and FM baselines are published at
-#     n=1/2/4 so every GAN row has a matched FM comparison;
-#   - the GAN stage uses a SEPARATE repeat-40 manifest (750 batches/epoch,
-#     ~325 G updates after the 100-batch D warmup, r3_rehearsal-like budget);
-#   - results are collected AND COMMITTED after the FM rows and after each
-#     GAN step count, so a dead tunnel mid-run still leaves published rows.
+# FAIL-CLOSED (round-5 rewrite; the round-4 version of this script committed
+# an all-NaN artifact): set -e aborts on ANY stage failure, the metric
+# scripts exit nonzero on 0 scored pairs, the collector exits nonzero on
+# empty rows, and every commit sits AFTER the collector in program order so
+# nothing empty can ever be committed. Commits are pathspec-scoped so a
+# concurrent builder session's staged files are never swept in.
+#
+# RESUMABLE: each stage skips work whose output already exists, so the drive
+# can resurrect the round-4 run (FM averaged.ckpt + three trained GAN
+# epoch-1.ckpts survive in /tmp/r4_gen) and rerun only what failed there:
+# FM inference (fixed Pallas iSTFT VMEM model) and the GAN export
+# (avg==epochs now defined).
+#
 # Usage: drive_gen.sh [start_stage] [stop_stage]
-set -uo pipefail
+#   stage 1 = preflight + compile sweep   stage 2 = corpus + FM train
+#   stage 3 = FM rows (n=1/2/4) + commit  stage 4 = GAN rows per n + commit
+set -euo pipefail
 cd /root/repo
 
 R=/tmp/r4_gen
@@ -29,58 +30,67 @@ LOG=$R/drive.log
 OUT=results/r4_generalization
 mkdir -p $R
 
-stage=${1:-0}
+stage=${1:-1}
 stop=${2:-9}
 
 commit_results() {
-  git add $OUT && git commit -q -m "$1
+  git add "$OUT"
+  git commit -q -m "$1
 
 No-Verification-Needed: results-only evidence artifact, no runtime code" \
-    && echo "COMMITTED: $1" | tee -a $LOG
+    -- "$OUT"
+  echo "COMMITTED: $1" | tee -a $LOG
 }
 
-if [ "$stage" -le 0 ] && [ "$stop" -ge 0 ]; then
-  python scripts/make_synthetic_corpus.py \
-    --corpus-dir $R/LibriTTS --data-dir $R/manifests_fm \
-    --n-train 300 --n-test 20 --n-dev 4 --duration 3.0 --train-repeat 80 \
-    2>&1 | tee -a $LOG
-  # Same deterministic corpus, smaller train manifest for the GAN stage.
-  python scripts/make_synthetic_corpus.py \
-    --corpus-dir $R/LibriTTS --data-dir $R/manifests_gan \
-    --n-train 300 --n-test 20 --n-dev 4 --duration 3.0 --train-repeat 40 \
+if [ "$stage" -le 1 ] && [ "$stop" -ge 1 ]; then
+  scripts/preflight_pipeline.sh /tmp/preflight_gen 2>&1 | tail -2 | tee -a $LOG
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/compile_sweep.py \
+    --batches 1 8 16 --durations 1.0 3.0 5.65 --n-timesteps 1 \
     2>&1 | tee -a $LOG
 fi
 
 if [ "$stage" -le 2 ] && [ "$stop" -ge 2 ]; then
-  ./run_libritts.sh --stage 2 --stop-stage 3 \
-    --corpus-dir $R/LibriTTS --data-dir $R/manifests_fm --exp-dir $R/exp \
-    --model-name mel_24k_base --train-splits train_clean_100 \
-    --fm-epochs 4 --fm-batch 16 --fm-avg 2 \
-    --fm-extra-args "--valid-interval 100000 --save-every-n 1000000 --log-interval 200 --keep-last-k 3" \
-    2>&1 | tee -a $LOG
-  echo "FM rc=$?" | tee -a $LOG
+  if [ ! -f $R/manifests_fm/libritts_recordings_test_clean.jsonl.gz ]; then
+    python scripts/make_synthetic_corpus.py \
+      --corpus-dir $R/LibriTTS --data-dir $R/manifests_fm \
+      --n-train 300 --n-test 20 --n-dev 4 --duration 3.0 --train-repeat 80 \
+      2>&1 | tee -a $LOG
+    python scripts/make_synthetic_corpus.py \
+      --corpus-dir $R/LibriTTS --data-dir $R/manifests_gan \
+      --n-train 300 --n-test 20 --n-dev 4 --duration 3.0 --train-repeat 40 \
+      2>&1 | tee -a $LOG
+  fi
+  if [ ! -f $R/exp/fm/averaged.ckpt ]; then
+    ./run_libritts.sh --stage 2 --stop-stage 3 \
+      --corpus-dir $R/LibriTTS --data-dir $R/manifests_fm --exp-dir $R/exp \
+      --model-name mel_24k_base --train-splits train_clean_100 \
+      --fm-epochs 4 --fm-batch 16 --fm-avg 2 \
+      --fm-extra-args "--valid-interval 100000 --save-every-n 1000000 --log-interval 200 --keep-last-k 3" \
+      2>&1 | tee -a $LOG
+  fi
 fi
 
 if [ "$stage" -le 3 ] && [ "$stop" -ge 3 ]; then
   # FM-only baselines on the held-out split at every published step count.
   for n in 1 2 4; do
-    python -m flow2gan_tpu.bin.infer \
-      --model-name mel_24k_base \
-      --checkpoint $R/exp/fm/averaged.ckpt \
-      --recordings $R/manifests_fm/libritts_recordings_test_clean.jsonl.gz \
-      --root-path $R/LibriTTS \
-      --output-dir $R/exp/fm_${n}step/test_clean_wavs \
-      --n-timesteps $n 2>&1 | tee -a $LOG
-    python scripts/compute_pesq_visqol.py \
-      --ref-dir $R/LibriTTS/test-clean \
-      --gen-dir $R/exp/fm_${n}step/test_clean_wavs/test-clean \
-      --output $R/exp/fm_${n}step/metrics_pesq.json 2>&1 | tee -a $LOG || true
-    python scripts/compute_pitch_periodicity.py \
-      --ref-dir $R/LibriTTS/test-clean \
-      --gen-dir $R/exp/fm_${n}step/test_clean_wavs/test-clean \
-      --output $R/exp/fm_${n}step/metrics_pitch.json 2>&1 | tee -a $LOG || true
+    if [ ! -f $R/exp/fm_${n}step/metrics_pitch.json ]; then
+      python -m flow2gan_tpu.bin.infer \
+        --model-name mel_24k_base \
+        --checkpoint $R/exp/fm/averaged.ckpt \
+        --recordings $R/manifests_fm/libritts_recordings_test_clean.jsonl.gz \
+        --root-path $R/LibriTTS \
+        --output-dir $R/exp/fm_${n}step/test_clean_wavs \
+        --n-timesteps $n 2>&1 | tee -a $LOG
+      python scripts/compute_pesq_visqol.py \
+        --ref-dir $R/LibriTTS/test-clean \
+        --gen-dir $R/exp/fm_${n}step/test_clean_wavs/test-clean \
+        --output $R/exp/fm_${n}step/metrics_pesq.json 2>&1 | tee -a $LOG
+      python scripts/compute_pitch_periodicity.py \
+        --ref-dir $R/LibriTTS/test-clean \
+        --gen-dir $R/exp/fm_${n}step/test_clean_wavs/test-clean \
+        --output $R/exp/fm_${n}step/metrics_pitch.json 2>&1 | tee -a $LOG
+    fi
   done
-  # gan_* dirs don't exist yet; the collector skips rows with no metrics.
   python scripts/collect_minipipe_results.py \
     --exp-dir $R/exp --output-dir $OUT --steps 1 2 4 \
     --extra fm_1step:$R/exp/fm_1step fm_2step:$R/exp/fm_2step \
@@ -90,24 +100,34 @@ fi
 
 if [ "$stage" -le 4 ] && [ "$stop" -ge 4 ]; then
   for n in 1 2 4; do
-    ./run_libritts.sh --stage 4 --stop-stage 4 \
-      --corpus-dir $R/LibriTTS --data-dir $R/manifests_gan --exp-dir $R/exp \
-      --model-name mel_24k_base --train-splits train_clean_100 \
-      --fm-epochs 4 --fm-avg 2 \
-      --n-timesteps-list "$n" \
-      --gan-epochs 1 --gan-batch 16 --gan-avg 1 \
-      --gan-extra-args "--gen-start-batch-idx 100 --valid-interval 100000 --save-every-n 1000000 --log-interval 100 --remat-rollout true" \
-      2>&1 | tee -a $LOG
-    echo "GAN${n} rc=$?" | tee -a $LOG
-    ./run_libritts.sh --stage 5 --stop-stage 6 \
-      --corpus-dir $R/LibriTTS --data-dir $R/manifests_gan --exp-dir $R/exp \
-      --model-name mel_24k_base --train-splits train_clean_100 \
-      --n-timesteps-list "$n" --gan-epochs 1 \
-      2>&1 | tee -a $LOG
+    if [ ! -f $R/exp/gan_${n}step/epoch-1.ckpt ]; then
+      ./run_libritts.sh --stage 4 --stop-stage 4 \
+        --corpus-dir $R/LibriTTS --data-dir $R/manifests_gan --exp-dir $R/exp \
+        --model-name mel_24k_base --train-splits train_clean_100 \
+        --fm-epochs 4 --fm-avg 2 \
+        --n-timesteps-list "$n" \
+        --gan-epochs 1 --gan-batch 16 --gan-avg 1 \
+        --gan-extra-args "--gen-start-batch-idx 100 --valid-interval 100000 --save-every-n 1000000 --log-interval 100 --remat-rollout true" \
+        2>&1 | tee -a $LOG
+    elif [ ! -f $R/exp/gan_${n}step/generator.ckpt ]; then
+      # resurrect a round-4 trained checkpoint: export only (stage 4b)
+      python -m flow2gan_tpu.bin.save_averaged_model \
+        --exp-dir $R/exp/gan_${n}step --epoch 1 --avg 1 \
+        --load-gan true \
+        --output $R/exp/gan_${n}step/generator.ckpt 2>&1 | tee -a $LOG
+    fi
+    if [ ! -f $R/exp/gan_${n}step/metrics_pitch.json ]; then
+      ./run_libritts.sh --stage 5 --stop-stage 6 \
+        --corpus-dir $R/LibriTTS --data-dir $R/manifests_gan --exp-dir $R/exp \
+        --model-name mel_24k_base --train-splits train_clean_100 \
+        --n-timesteps-list "$n" --gan-epochs 1 \
+        2>&1 | tee -a $LOG
+    fi
     python scripts/collect_minipipe_results.py \
       --exp-dir $R/exp --output-dir $OUT --steps 1 2 4 \
       --extra fm_1step:$R/exp/fm_1step fm_2step:$R/exp/fm_2step \
-              fm_4step:$R/exp/fm_4step 2>&1 | tee -a $LOG
+              fm_4step:$R/exp/fm_4step \
+              gan_${n}step:$R/exp/gan_${n}step 2>&1 | tee -a $LOG
     commit_results "r4_generalization: GAN ${n}-step row on the held-out split"
   done
 fi
