@@ -353,3 +353,216 @@ def test_two_process_fm_train_step(tmp_path):
         np.testing.assert_allclose(
             np.asarray(sp), np.asarray(mp), rtol=2e-4, atol=2e-6
         )
+
+
+WORKER_GAN = r"""
+import json, os, sys
+proc_id = int(sys.argv[1]); port = sys.argv[2]; out_dir = sys.argv[3]
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from flow2gan_tpu.parallel.mesh import (
+    init_distributed, make_mesh, replicate, shard_batch,
+)
+init_distributed(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=proc_id
+)
+assert jax.process_count() == 2
+
+import numpy as np
+import jax.numpy as jnp
+from flow2gan_tpu.models import build_generator, get_generator_config
+from flow2gan_tpu.models.discriminators import Discriminators
+from flow2gan_tpu.models.gan import make_mel_recon_fns
+from flow2gan_tpu.ops.mel import LogMelSpectrogram
+from flow2gan_tpu.training.optim import eden2_lr, scaled_adam
+from flow2gan_tpu.training.gan_step import init_gan_train_state, make_gan_steps
+
+cfg = dict(get_generator_config("mel_24k_tiny"))
+cfg["branch_dropout"] = 0.0
+generator = build_generator(cfg)
+mel_fn = LogMelSpectrogram(
+    sampling_rate=cfg["sampling_rate"], n_fft=cfg["mel_n_fft"],
+    hop_length=cfg["mel_hop_length"], n_mels=cfg["n_mels"],
+)
+discriminators = Discriminators(periods=(2, 3), fft_sizes=(256, 128))
+mel_recon_fns = make_mel_recon_fns(
+    cfg["sampling_rate"], mel_recon_n_ffts=(64, 128), mel_recon_n_mels=(10, 20)
+)
+
+L = 2048
+key = jax.random.PRNGKey(0)
+g_audio = np.asarray(0.1 * np.random.RandomState(42).randn(8, L), np.float32)
+local = g_audio[proc_id * 4 : (proc_id + 1) * 4]
+params_g = generator.init(
+    {"params": key, "noise": key, "gate": key, "dropout": key},
+    mel_fn(jnp.asarray(g_audio[:2])), jnp.asarray(g_audio[:2]),
+    jnp.full((2,), L, jnp.int32), train=True,
+)["params"]
+params_d = discriminators.init(
+    jax.random.PRNGKey(5), jnp.asarray(g_audio[:2]), jnp.asarray(g_audio[:2])
+)["params"]
+
+mesh = make_mesh()
+batch = shard_batch(
+    {"audio": local, "audio_lens": np.full((4,), L, np.int32)}, mesh
+)
+assert batch["audio"].shape == (8, L)
+
+opt_g = scaled_adam(clipping_scale=2.0)
+opt_d = scaled_adam(clipping_scale=2.0)
+d_step, g_step, _ = make_gan_steps(
+    generator, discriminators, mel_fn, mel_recon_fns, opt_g, opt_d,
+    lr_g_fn=lambda b: eden2_lr(0.002, b, 20000.0),
+    lr_d_fn=lambda b: eden2_lr(0.02, b, 5000.0),
+    n_timesteps=1, donate=False,
+)
+state = init_gan_train_state(
+    replicate(params_g, mesh), replicate(params_d, mesh), opt_g, opt_d
+)
+rng = jax.random.PRNGKey(123)
+state, md = d_step(state, batch, rng)
+state, mg = g_step(state, batch, rng)
+
+report = {
+    "process_index": jax.process_index(),
+    "loss_d": float(md["loss_d"]),
+    "loss_g": float(mg["loss_g"]),
+}
+if jax.process_index() == 0:
+    from flow2gan_tpu.training.checkpoint import save_checkpoint
+    save_checkpoint(
+        os.path.join(out_dir, "gan_params.msgpack"),
+        params={
+            "generator": jax.tree.map(np.asarray, state.params_g),
+            "discriminator": jax.tree.map(np.asarray, state.params_d),
+        },
+        train_params={"batch_idx_train": 2},
+    )
+with open(os.path.join(out_dir, f"gan_report_{proc_id}.json"), "w") as f:
+    json.dump(report, f)
+print("WORKER_OK", proc_id)
+"""
+
+
+def test_two_process_gan_train_step(tmp_path):
+    """One D step + one G step over a REAL 2-process mesh (VERDICT r4 #8):
+    cross-host gradients through BOTH ScaledAdam optimizers must match a
+    single-process run of the same global batch — the GAN analogue of
+    test_two_process_fm_train_step, replacing the reference's
+    DDP(find_unused_parameters=True) (ref bin/finetune.py:915)."""
+    sys.path.insert(0, str(REPO))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    worker_py = tmp_path / "worker_gan.py"
+    worker_py.write_text(WORKER_GAN)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env["JAX_PLATFORMS"] = "cpu"
+    inherited = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    ]
+    env["XLA_FLAGS"] = " ".join(
+        ["--xla_force_host_platform_device_count=1"] + inherited
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(i), str(port), str(out_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        assert f"WORKER_OK {i}" in out
+
+    r0 = json.loads((out_dir / "gan_report_0.json").read_text())
+    r1 = json.loads((out_dir / "gan_report_1.json").read_text())
+    np.testing.assert_allclose(r0["loss_d"], r1["loss_d"], rtol=1e-6)
+    np.testing.assert_allclose(r0["loss_g"], r1["loss_g"], rtol=1e-6)
+
+    # ---- single-process reference: same init, same global batch, same rng
+    import jax
+    import jax.numpy as jnp
+
+    from flow2gan_tpu.models import build_generator, get_generator_config
+    from flow2gan_tpu.models.discriminators import Discriminators
+    from flow2gan_tpu.models.gan import make_mel_recon_fns
+    from flow2gan_tpu.ops.mel import LogMelSpectrogram
+    from flow2gan_tpu.training.checkpoint import load_checkpoint
+    from flow2gan_tpu.training.gan_step import (
+        init_gan_train_state,
+        make_gan_steps,
+    )
+    from flow2gan_tpu.training.optim import eden2_lr, scaled_adam
+
+    cfg = dict(get_generator_config("mel_24k_tiny"))
+    cfg["branch_dropout"] = 0.0
+    generator = build_generator(cfg)
+    mel_fn = LogMelSpectrogram(
+        sampling_rate=cfg["sampling_rate"], n_fft=cfg["mel_n_fft"],
+        hop_length=cfg["mel_hop_length"], n_mels=cfg["n_mels"],
+    )
+    discriminators = Discriminators(periods=(2, 3), fft_sizes=(256, 128))
+    mel_recon_fns = make_mel_recon_fns(
+        cfg["sampling_rate"], mel_recon_n_ffts=(64, 128),
+        mel_recon_n_mels=(10, 20),
+    )
+    L = 2048
+    key = jax.random.PRNGKey(0)
+    g_audio = np.asarray(0.1 * np.random.RandomState(42).randn(8, L), np.float32)
+    params_g = generator.init(
+        {"params": key, "noise": key, "gate": key, "dropout": key},
+        mel_fn(jnp.asarray(g_audio[:2])), jnp.asarray(g_audio[:2]),
+        jnp.full((2,), L, jnp.int32), train=True,
+    )["params"]
+    params_d = discriminators.init(
+        jax.random.PRNGKey(5), jnp.asarray(g_audio[:2]), jnp.asarray(g_audio[:2])
+    )["params"]
+    opt_g = scaled_adam(clipping_scale=2.0)
+    opt_d = scaled_adam(clipping_scale=2.0)
+    d_step, g_step, _ = make_gan_steps(
+        generator, discriminators, mel_fn, mel_recon_fns, opt_g, opt_d,
+        lr_g_fn=lambda b: eden2_lr(0.002, b, 20000.0),
+        lr_d_fn=lambda b: eden2_lr(0.02, b, 5000.0),
+        n_timesteps=1, donate=False,
+    )
+    state = init_gan_train_state(params_g, params_d, opt_g, opt_d)
+    rng = jax.random.PRNGKey(123)
+    batch = {
+        "audio": jnp.asarray(g_audio),
+        "audio_lens": jnp.full((8,), L, jnp.int32),
+    }
+    state, md = d_step(state, batch, rng)
+    state, mg = g_step(state, batch, rng)
+    np.testing.assert_allclose(r0["loss_d"], float(md["loss_d"]), rtol=2e-5)
+    np.testing.assert_allclose(r0["loss_g"], float(mg["loss_g"]), rtol=2e-5)
+
+    import flax
+
+    mp_tree = load_checkpoint(out_dir / "gan_params.msgpack")["model"]
+    ref = {"generator": state.params_g, "discriminator": state.params_d}
+    mp_params = flax.serialization.from_state_dict(ref, mp_tree)
+    # cross-device psum reduction order differs from the single-device sum;
+    # ScaledAdam's early-step rsqrt scale estimates amplify that float noise
+    # (same tolerance rationale as test_parallel._trees_close)
+    for sp, mp in zip(jax.tree.leaves(ref), jax.tree.leaves(mp_params)):
+        np.testing.assert_allclose(
+            np.asarray(sp), np.asarray(mp), rtol=8e-3, atol=4e-4
+        )
