@@ -24,6 +24,15 @@ stage=${1:-1}
 stop=${2:-9}
 FM_EPOCHS=${3:-6}
 
+has_rows() {  # has_rows FILE -> success when FILE exists with n_files > 0
+  python -c "
+import json, sys, os
+p = sys.argv[1]
+ok = os.path.exists(p) and json.load(open(p)).get('summary', {}).get('n_files', 0) > 0
+sys.exit(0 if ok else 1)
+" "$1"
+}
+
 commit_results() {
   git add "$OUT"
   git commit -q -m "$1
@@ -57,7 +66,7 @@ if [ "$stage" -le 2 ] && [ "$stop" -ge 2 ]; then
 fi
 
 if [ "$stage" -le 3 ] && [ "$stop" -ge 3 ]; then
-  if [ ! -f $R/exp/fm/metrics_pitch.json ]; then
+  if ! has_rows $R/exp/fm/metrics_pitch.json; then
     python -m flow2gan_tpu.bin.infer \
       --model-name mel_24k_base \
       --checkpoint $R/exp/fm/averaged.ckpt \
@@ -94,7 +103,7 @@ if [ "$stage" -le 4 ] && [ "$stop" -ge 4 ]; then
 fi
 
 if [ "$stage" -le 5 ] && [ "$stop" -ge 5 ]; then
-  if [ ! -f $R/exp/gan_1step/metrics_pitch.json ]; then
+  if ! has_rows $R/exp/gan_1step/metrics_pitch.json; then
     ./run_libritts.sh --stage 5 --stop-stage 6 \
       --corpus-dir $R/LibriTTS --data-dir $R/manifests --exp-dir $R/exp \
       --model-name mel_24k_base --train-splits train_clean_100 \

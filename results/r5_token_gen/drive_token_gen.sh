@@ -26,6 +26,15 @@ mkdir -p $R
 stage=${1:-1}
 stop=${2:-9}
 
+has_rows() {  # has_rows FILE -> success when FILE exists with n_files > 0
+  python -c "
+import json, sys, os
+p = sys.argv[1]
+ok = os.path.exists(p) and json.load(open(p)).get('summary', {}).get('n_files', 0) > 0
+sys.exit(0 if ok else 1)
+" "$1"
+}
+
 commit_results() {
   git add "$OUT"
   git commit -q -m "$1
@@ -78,7 +87,7 @@ fi
 if [ "$stage" -le 3 ] && [ "$stop" -ge 3 ]; then
   # tokens-only reconstruction of utterances the model has NEVER seen
   for n in 1 2 4; do
-    if [ ! -f $R/exp/fm_${n}step/metrics_pitch.json ]; then
+    if ! has_rows $R/exp/fm_${n}step/metrics_pitch.json; then
       python -m flow2gan_tpu.bin.infer \
         --model-name $M --tokenizer $R/tokenizer_1024.npz \
         --checkpoint $R/exp/fm/averaged.ckpt \
@@ -123,7 +132,7 @@ if [ "$stage" -le 4 ] && [ "$stop" -ge 4 ]; then
       --load-gan true \
       --output $R/exp/gan_${n}step/generator.ckpt 2>&1 | tee -a $LOG
   fi
-  if [ ! -f $R/exp/gan_${n}step/metrics_pitch.json ]; then
+  if ! has_rows $R/exp/gan_${n}step/metrics_pitch.json; then
     python -m flow2gan_tpu.bin.infer \
       --model-name $M --tokenizer $R/tokenizer_1024.npz \
       --checkpoint $R/exp/gan_${n}step/generator.ckpt \
