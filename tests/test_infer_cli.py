@@ -83,17 +83,38 @@ def test_resolve_requires_source(tiny_ckpts):
 
 
 def test_save_averaged_model_window_guard(tiny_ckpts, monkeypatch, capsys):
-    """Windowed averaging reaching before epoch-1 exits with guidance
-    instead of a raw FileNotFoundError (bin/save_averaged_model.py)."""
+    """A window whose start checkpoint is genuinely missing mid-range exits
+    with guidance instead of a raw FileNotFoundError; the epoch-0 edge
+    (avg == epochs on exp dirs predating the epoch-0 snapshot) instead
+    falls back to a plain average (round 5 — the hard exit burned three
+    trained GAN models in round 4's drive)."""
     import sys
 
     from flow2gan_tpu.bin import save_averaged_model
 
-    d, _, _ = tiny_ckpts
+    import shutil
+
+    src, _, _ = tiny_ckpts
+    # copy: this test deletes a checkpoint, the fixture is module-shared
+    d = src.parent / "window_guard_exp"
+    if d.exists():
+        shutil.rmtree(d)
+    shutil.copytree(src, d)
+    # avg == epochs with no epoch-0 -> loud plain-average fallback, not exit
     monkeypatch.setattr(
         sys, "argv",
         ["save_averaged_model", "--exp-dir", str(d), "--epoch", "3",
-         "--avg", "3", "--output", str(d / "never.ckpt")],
+         "--avg", "3", "--output", str(d / "fallback.ckpt")],
+    )
+    save_averaged_model.main()
+    assert (d / "fallback.ckpt").exists()
+
+    # mid-range missing start (epoch-1 deleted, window (1, 3]) -> hard exit
+    (d / "epoch-1.ckpt").unlink()
+    monkeypatch.setattr(
+        sys, "argv",
+        ["save_averaged_model", "--exp-dir", str(d), "--epoch", "3",
+         "--avg", "2", "--output", str(d / "never.ckpt")],
     )
     with pytest.raises(SystemExit) as e:
         save_averaged_model.main()
