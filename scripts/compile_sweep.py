@@ -43,13 +43,17 @@ def sweep(model_names, batches, durations, n_timesteps_list) -> int:
         rng = jax.random.PRNGKey(0)
         mel_hop = cfg.mel_hop_length
 
+        token_cond = cfg.get("conditioning") == "tokens"
         for dur in durations:
             n_samples = int(dur * cfg.sampling_rate)
             t_mel = n_samples // mel_hop
             for batch in batches:
-                cond_sds = jax.ShapeDtypeStruct(
-                    (batch, cfg.n_mels, t_mel), jnp.float32
-                )
+                if token_cond:
+                    cond_sds = jax.ShapeDtypeStruct((batch, t_mel), jnp.int32)
+                else:
+                    cond_sds = jax.ShapeDtypeStruct(
+                        (batch, cfg.n_mels, t_mel), jnp.float32
+                    )
                 params_sds = jax.eval_shape(
                     lambda c: model.init(
                         {"params": rng, "noise": rng},
