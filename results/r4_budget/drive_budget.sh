@@ -35,6 +35,14 @@ sys.exit(0 if ok else 1)
 
 commit_results() {
   git add "$OUT"
+  # Idempotent on re-runs: a regenerated row that is bit-identical to the
+  # committed one stages nothing — skip loudly instead of dying on the empty
+  # commit. The fail-closed guarantee lives in the collector (exits nonzero
+  # on empty metrics), not here.
+  if git diff --cached --quiet -- "$OUT"; then
+    echo "SKIP COMMIT (no changes vs HEAD): $1" | tee -a $LOG
+    return 0
+  fi
   git commit -q -m "$1
 
 No-Verification-Needed: results-only evidence artifact, no runtime code" \
