@@ -127,8 +127,71 @@ def tunnel_preflight(
     sys.exit(2)
 
 
+class CompileWatchdog:
+    """Fail closed when the remote compile helper is wedged.
+
+    A second tunnel failure mode (observed round 5): the relay ports accept
+    TCP and cached programs still run, but every NEW compile hangs forever
+    inside the helper (`/remote_compile` never answers). The socket
+    preflight above cannot see this, so run each phase under a per-phase
+    budget: `kick()` re-arms the timer at every phase boundary (each phase
+    is one measure() = at most one compile + timing, ≤5 min healthy even
+    contended), and if any single phase exceeds the budget, print the ONE
+    JSON error line and exit 2 instead of stalling the round. Per-phase —
+    not whole-run — so a healthy-but-slow bench (many compiles) keeps
+    re-proving progress and is never killed. No-op off the tunneled
+    runtime.
+    """
+
+    def __init__(self, metric="xrt_24k_1step_b16", unit="x_realtime"):
+        self._timer = None
+        self.active = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+        plats = os.environ.get("JAX_PLATFORMS", "")
+        if plats and "axon" not in plats:
+            self.active = False  # jax pinned elsewhere; no helper involved
+        self.budget = float(os.environ.get("BENCH_WATCHDOG_S", "900"))
+        self.metric, self.unit = metric, unit
+
+    def _abort(self):
+        print(
+            json.dumps(
+                {
+                    "metric": self.metric,
+                    "value": 0.0,
+                    "unit": self.unit,
+                    "vs_baseline": 0.0,
+                    "error": (
+                        f"bench phase exceeded {self.budget:.0f}s — TPU "
+                        "compile helper wedged (relay up, compiles hang); "
+                        "see .claude/skills/verify/SKILL.md wedge protocol"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    def kick(self):
+        if not self.active:
+            return
+        import threading
+
+        if self._timer is not None:
+            self._timer.cancel()
+        self._timer = threading.Timer(self.budget, self._abort)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def cancel(self):
+        if self._timer is not None:
+            self._timer.cancel()
+            self._timer = None
+
+
 def main():
     tunnel_preflight()
+    watchdog = CompileWatchdog()
+    watchdog.kick()
     # Host CPU contention throttles the enqueue pipeline and silently
     # halves reported xRT (measured: 44k 2.3k busy vs 5.1k idle) — flag it.
     load = os.getloadavg()[0] / max(os.cpu_count() or 1, 1)
@@ -143,14 +206,18 @@ def main():
         candidates = [None if forced in ("float32", "f32") else forced]
     else:
         candidates = [None, "bfloat16"]
-    results = {(d or "float32"): measure(d) for d in candidates}
+    def timed(*a, **kw):  # one phase = one measure(); re-arm per phase
+        watchdog.kick()
+        return measure(*a, **kw)
+
+    results = {(d or "float32"): timed(d) for d in candidates}
     dtype, xrt = max(results.items(), key=lambda kv: kv[1])
     best_d = None if dtype == "float32" else dtype
     multi = {
-        f"{n}step": round(measure(best_d, n_timesteps=n), 1) for n in (2, 4)
+        f"{n}step": round(timed(best_d, n_timesteps=n), 1) for n in (2, 4)
     }
     xrt_44k = round(
-        measure(best_d, model_name="mel_44k_128band_512x_base"), 1
+        timed(best_d, model_name="mel_44k_128band_512x_base"), 1
     )
     result = {
         "metric": "xrt_24k_1step_b16",
@@ -164,6 +231,7 @@ def main():
             f"(ref GPU: 449.3 2step / 228.5 4step)"
         ),
     }
+    watchdog.cancel()
     print(json.dumps(result))
     return result
 
