@@ -43,7 +43,10 @@ from flow2gan_tpu.bin.pretrain import (
     save_test_samples,
 )
 from flow2gan_tpu.training.env import get_env_info
-from flow2gan_tpu.training.err import raise_nonfinite_loss_error
+from flow2gan_tpu.training.err import (
+    call_with_compile_retry,
+    raise_nonfinite_loss_error,
+)
 from flow2gan_tpu.training.hooks import NonfiniteLossGuard
 from flow2gan_tpu.training.gan_step import (
     GANLossScales,
@@ -559,7 +562,9 @@ def run(args):
             if params.profile_dir and params.batch_idx_train == 10:
                 jax.profiler.start_trace(params.profile_dir)
             if params.train_disc:
-                state, metrics = d_step(state, device_batch, step_rng)
+                state, metrics = call_with_compile_retry(
+                    d_step, state, device_batch, step_rng
+                )
                 loss_val = float(metrics["loss_d"])
                 info = MetricsTracker()
                 info["samples"] = n
@@ -569,7 +574,9 @@ def run(args):
                 if params.batch_idx_train >= params.gen_start_batch_idx:
                     params.train_disc = False
             else:
-                state, metrics = g_step(state, device_batch, step_rng)
+                state, metrics = call_with_compile_retry(
+                    g_step, state, device_batch, step_rng
+                )
                 loss_val = float(metrics["loss_g"])
                 info = MetricsTracker()
                 info["samples"] = n

@@ -46,7 +46,10 @@ from flow2gan_tpu.training.diagnostics import (
     print_scalar_diagnostics,
 )
 from flow2gan_tpu.training.env import get_env_info
-from flow2gan_tpu.training.err import raise_nonfinite_loss_error
+from flow2gan_tpu.training.err import (
+    call_with_compile_retry,
+    raise_nonfinite_loss_error,
+)
 from flow2gan_tpu.training.hooks import NonfiniteLossGuard, find_nonfinite_leaves
 from flow2gan_tpu.training.optim import (
     dominant_parameters,
@@ -532,7 +535,9 @@ def run(args):
             )
             if params.profile_dir and params.batch_idx_train == 10:
                 jax.profiler.start_trace(params.profile_dir)
-            state, metrics = train_step(state, device_batch, step_rng)
+            state, metrics = call_with_compile_retry(
+                train_step, state, device_batch, step_rng
+            )
             if params.profile_dir and params.batch_idx_train == 15:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()

@@ -126,6 +126,60 @@ def test_err_message():
         raise AssertionError("should raise")
 
 
+def test_compile_retry_retries_transient_helper_kills():
+    from flow2gan_tpu.training.err import call_with_compile_retry
+
+    calls = []
+
+    def flaky(x):
+        calls.append(x)
+        if len(calls) < 3:
+            raise RuntimeError(
+                "INTERNAL: http://127.0.0.1:8113/remote_compile: HTTP 500: "
+                "tpu_compile_helper subprocess exit signal SIGKILL (9)"
+            )
+        return x + 1
+
+    assert call_with_compile_retry(flaky, 41, retries=2, wait_s=0) == 42
+    assert len(calls) == 3
+
+
+def test_compile_retry_propagates_other_errors_immediately():
+    from flow2gan_tpu.training.err import call_with_compile_retry
+
+    calls = []
+
+    def broken(_):
+        calls.append(1)
+        raise ValueError("a real bug, not the compile helper")
+
+    try:
+        call_with_compile_retry(broken, 0, retries=2, wait_s=0)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("should raise")
+    assert len(calls) == 1  # no retry on non-transient errors
+
+
+def test_compile_retry_exhausts_and_reraises():
+    from flow2gan_tpu.training.err import call_with_compile_retry
+
+    calls = []
+
+    def wedged(_):
+        calls.append(1)
+        raise RuntimeError("remote_compile: HTTP 500: SIGKILL forever")
+
+    try:
+        call_with_compile_retry(wedged, 0, retries=2, wait_s=0)
+    except RuntimeError as e:
+        assert "remote_compile" in str(e)
+    else:
+        raise AssertionError("should raise")
+    assert len(calls) == 3  # initial + 2 retries, then fail closed
+
+
 def test_metrics_tracker_math():
     a = MetricsTracker()
     a["samples"] = 2
