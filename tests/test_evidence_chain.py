@@ -114,6 +114,52 @@ def test_collector_rejects_missing_required_row(tmp_path):
     assert "COLLECT_FAILED" in r.stdout
 
 
+def _iter_committed_metric_summaries():
+    """Yield (path, summary-dict) for every metrics-shaped JSON committed
+    under results/ — both per-run ``*metrics*.json`` files ({"summary":
+    {..., n_files}}) and per-directory ``summary.json`` tables ({model:
+    {"pesq": {...}, "pitch": {...}}})."""
+    for p in sorted((REPO / "results").rglob("*.json")):
+        d = json.loads(p.read_text())
+        if isinstance(d.get("summary"), dict) and "n_files" in d["summary"]:
+            yield p, d["summary"]
+        elif p.name == "summary.json":
+            for model, row in d.items():
+                if not isinstance(row, dict):
+                    continue
+                for part in ("pesq", "pitch"):
+                    if isinstance(row.get(part), dict) and "n_files" in row[part]:
+                        yield p.parent / f"{p.name}#{model}.{part}", row[part]
+
+
+def test_committed_artifacts_have_real_rows():
+    """Lint the evidence actually committed at HEAD: every metrics summary
+    under results/ must have scored files and at least one non-null metric.
+    Round 4 shipped an all-null table under a commit message claiming real
+    rows; this makes that unrepresentable — an empty artifact reddens the
+    suite, not just the drive that produced it."""
+    seen = 0
+    for path, s in _iter_committed_metric_summaries():
+        assert s["n_files"] > 0, f"{path}: empty metrics (n_files=0) committed"
+        values = [v for k, v in s.items()
+                  if k != "n_files" and isinstance(v, (int, float))]
+        assert values, f"{path}: all metrics null with n_files={s['n_files']}"
+        seen += 1
+    assert seen >= 10, f"lint walked only {seen} summaries — glob broken?"
+
+
+def test_committed_docs_have_no_placeholders():
+    """No results README/summary.md at HEAD may carry an unexpanded
+    '<!-- TABLE -->' placeholder or a NaN cell (ADVICE r4, low #5: the
+    placeholder + narrated-conclusions combination is how empty evidence
+    read as findings)."""
+    for p in sorted((REPO / "results").rglob("*.md")):
+        text = p.read_text()
+        assert "<!-- TABLE -->" not in text, f"{p}: unexpanded placeholder"
+        if p.name == "summary.md":
+            assert "nan" not in text.lower(), f"{p}: NaN cell committed"
+
+
 def test_collector_accepts_real_rows(tmp_path):
     d = tmp_path / "exp" / "gan_1step"
     d.mkdir(parents=True)
